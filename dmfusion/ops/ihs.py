@@ -1,0 +1,84 @@
+"""IHS-style cross-modal resampling ops (reference image_convert/IHS.py).
+
+Every op here replaces a Python pixel loop with a reshape/gather that XLA
+lowers to trivially vectorized code:
+
+  * :func:`block_mean` — mean-pool downsample (reference ``unsampling``,
+    IHS.py:6-12, O(H*W) Python loop),
+  * :func:`pan2ms` — PAN -> pseudo-MS by /2 block-mean then 2x2 *phase
+    interleave* into 4 channels (IHS.py:14-19),
+  * :func:`unpooling` — t-times upsample placing each value at a random
+    position inside its t x t block (IHS.py:22-29).  The reference uses
+    unseeded ``random.randint`` (nondeterministic); here the placement is
+    driven by a JAX PRNG key — an intentional, documented divergence,
+  * :func:`ihs_transform` — the classic IHS pansharpen feeding
+    ``dataset_tri``'s MSPAN stream (IHS.py:40-54).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def block_mean(img: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """(H, W) -> (H//scale, W//scale) mean over scale x scale blocks."""
+    h, w = img.shape[0] - img.shape[0] % scale, img.shape[1] - img.shape[1] % scale
+    x = img[:h, :w].reshape(h // scale, scale, w // scale, scale)
+    return x.mean(axis=(1, 3))
+
+
+def pan2ms(pan: jnp.ndarray, size: tuple[int, int, int]) -> jnp.ndarray:
+    """PAN (4H, 4W) -> pseudo-MS (H, W, C) via /2 block-mean + phase
+    interleave ``p[i % 2::2, i // 2::2]`` per channel (IHS.py:14-19)."""
+    h, w, c = size
+    p = block_mean(pan, 2)
+    chans = [p[i % 2::2, i // 2::2][:h, :w] for i in range(c)]
+    return jnp.stack(chans, axis=-1)
+
+
+def unpooling(img: jnp.ndarray, t: int, key: jax.Array) -> jnp.ndarray:
+    """(H, W, C) -> (H*t, W*t, C); each value lands at a seeded-random
+    offset inside its t x t block, the rest is zero (IHS.py:22-29)."""
+    h, w, c = img.shape
+    km, kn = jax.random.split(key)
+    m = jax.random.randint(km, (h, w, c), 0, t)
+    n = jax.random.randint(kn, (h, w, c), 0, t)
+    # Build the t*t one-hot placement per source pixel, then reassemble.
+    offset = m * t + n                                     # (h, w, c)
+    hot = jax.nn.one_hot(offset, t * t, dtype=img.dtype)   # (h, w, c, t*t)
+    blocks = img[..., None] * hot
+    blocks = blocks.reshape(h, w, c, t, t)
+    out = blocks.transpose(0, 3, 1, 4, 2).reshape(h * t, w * t, c)
+    return out
+
+
+def replicate_channels(img: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(H, W) -> (H, W, n) channel replicate (reference ``raw_3copy``)."""
+    return jnp.repeat(img[:, :, None], n, axis=2)
+
+
+def ihs_transform(ms: jnp.ndarray, pan: jnp.ndarray,
+                  key: jax.Array) -> jnp.ndarray:
+    """Classic IHS pansharpen (IHS.py:40-54): unpool MS to PAN geometry,
+    I = channel mean, delta = PAN - I, add delta to every band, return the
+    band mean.
+
+    Note: algebraically the band mean of (MS_up + delta) collapses to PAN
+    itself; the computation is kept faithful to the reference so the
+    intermediate (per-band pansharpened) products remain available.
+    """
+    c = ms.shape[2]
+    up = unpooling(ms, c, key)
+    intensity = up.mean(axis=2)
+    delta = pan - intensity
+    result = up + replicate_channels(delta, c)
+    return result.mean(axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def upsample_nearest(img: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Deterministic nearest upsample companion to :func:`block_mean`."""
+    return jnp.repeat(jnp.repeat(img, scale, axis=0), scale, axis=1)
