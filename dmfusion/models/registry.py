@@ -1,0 +1,60 @@
+"""Dynamic model registry.
+
+The reference loads models by name with
+``importlib.import_module('model.' + net_name)`` expecting a class
+``Net`` (solver/mainsolver.py:31-34) — but ships no ``model/`` directory
+at all (SURVEY.md §0).  Here the same dynamic-import contract is kept
+(``dmfusion.models.<name>.Net``), every name the reference's config
+mentions resolves to a concrete implementation, and external modules can
+also register themselves via :func:`register`.
+"""
+
+from __future__ import annotations
+
+import importlib
+from typing import Any, Callable, Mapping
+
+_EXPLICIT: dict[str, Callable] = {}
+
+# Names referenced by the upstream config (config.yml:6-8) mapped to our
+# module files where the spelling differs.
+_ALIASES = {
+    "vision_transformer": "vit",
+    "swin_transformer": "swin",
+    "swin_t_dual": "swin_dual",
+}
+
+
+def register(name: str) -> Callable:
+    def deco(cls):
+        _EXPLICIT[name.lower()] = cls
+        return cls
+    return deco
+
+
+def get_model_class(name: str):
+    key = name.lower()
+    if key in _EXPLICIT:
+        return _EXPLICIT[key]
+    module_name = _ALIASES.get(key, key)
+    try:
+        mod = importlib.import_module(f"dmfusion.models.{module_name}")
+    except ImportError:
+        # Fall back to a user-provided top-level module, mirroring the
+        # reference's `model.<name>` convention.
+        mod = importlib.import_module(f"model.{module_name}")
+    return mod.Net
+
+
+def build_model(cfg: Mapping[str, Any], name: str | None = None):
+    """Instantiate ``Net(cfg)`` for ``cfg['model_name']`` (or ``name``)."""
+    cls = get_model_class(name or cfg["model_name"])
+    return cls(cfg=dict(cfg))
+
+
+def available_models() -> list[str]:
+    return sorted(set(list(_EXPLICIT) + [
+        "gmfnet", "resnet18", "cross_net", "vision_transformer",
+        "swin_transformer", "swin_t_dual", "ct_lstm", "dqtl",
+        "generator", "discriminator",
+    ]))

@@ -1,0 +1,65 @@
+"""Device mesh + sharding helpers.
+
+The reference is strictly single-process/single-device (zero hits for any
+distributed API — SURVEY.md §0), so this subsystem is pure TPU-native
+design: a ``jax.sharding.Mesh`` with axes ``('data', 'model')``; training
+batches and full-scene pixel anchors shard over ``data`` (the scene
+itself is small and replicates), wide classifier weights may shard over
+``model``.  All cross-chip traffic is XLA collectives over ICI inserted
+by the partitioner — there is no hand-written communication.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(cfg: Mapping[str, Any] | None = None,
+             devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """Build the ('data', 'model') mesh.
+
+    ``cfg['mesh']['data'] == -1`` means "all devices not used by model".
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    model = 1
+    if cfg is not None:
+        model = int(cfg.get("mesh", {}).get("model", 1))
+        want_data = int(cfg.get("mesh", {}).get("data", -1))
+        if want_data > 0 and want_data * model <= n:
+            n = want_data * model
+            devices = devices[:n]
+    if n % model:
+        raise ValueError(f"{n} devices not divisible by model axis {model}")
+    arr = np.asarray(devices).reshape(n // model, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard axis 0 (batch / pixel anchors) over 'data', rest replicated."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh | None, x):
+    """Apply a batch-axis sharding constraint inside jitted code (no-op
+    without a mesh)."""
+    if mesh is None:
+        return x
+    spec = P("data", *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def device_put_batched(mesh: Mesh | None, x):
+    """Place a host array with batch-axis sharding (or default placement)."""
+    if mesh is None:
+        return jax.device_put(x)
+    import jax.numpy as jnp
+    return jax.device_put(jnp.asarray(x), batch_sharding(mesh, np.ndim(x)))

@@ -1,0 +1,176 @@
+"""BaseSolver: scene residency, splits, repeat-loop skeleton.
+
+Covers reference solver/basesolver.py:9-141: scene load + normalize +
+pad, label materialization, labeled/unlabeled split, per-repeat
+train/test/valid re-split, checkpoint bookkeeping hooks and the
+``indicator`` reporting step.  Differences by design:
+
+  * the "dataloader" produces device-resident id/label arrays batched to
+    static shapes, not torch DataLoaders;
+  * splits come from a seeded ``numpy`` permutation (seed = cfg seed +
+    repeat index).  Torch's ``random_split`` stream cannot be reproduced
+    in jax, so split parity is distribution-level (SURVEY.md §7 "RNG
+    parity"); the explicit-mask path (``data_new``) gives exact splits;
+  * resume is actually wired: the repeat loop can restart from the saved
+    epoch/records (the reference scaffolds this but never calls it,
+    basesolver.py:107-119).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from dmfusion.config import prepare_run
+from dmfusion.data.patches import batched_ids
+from dmfusion.data.scene import (Scene, load_scene, split_labels,
+                                 split_labels_masked)
+from dmfusion.ops.metrics import aa_oa
+from dmfusion.parallel.mesh import get_mesh
+from dmfusion.report.excel import expo_result
+
+
+class Split:
+    """Per-repeat index sets (flat row-major pixel ids + labels)."""
+
+    def __init__(self, train: np.ndarray, test: np.ndarray,
+                 valid: np.ndarray, labeled: np.ndarray,
+                 unlabeled: np.ndarray):
+        self.train = train
+        self.test = test
+        self.valid = valid
+        self.labeled = labeled
+        self.unlabeled = unlabeled
+
+
+class BaseSolver:
+    def __init__(self, cfg: Mapping[str, Any]):
+        cfg = dict(cfg)
+        if "RESULT_output" not in cfg:
+            cfg = prepare_run(cfg)
+        self.cfg = cfg
+        self.TIME = cfg["time"]
+        self.time = cfg["index"]
+        self.EPOCH = cfg["epoch"]
+        self.epoch = 0
+        self.num_classes = cfg["Categories_Number"]
+
+        self.scene: Scene = load_scene(cfg)
+        self.labels_flat = self.scene.label.reshape(-1).astype(np.int32)
+        self.labeled_ids, self.unlabeled_ids = split_labels(self.scene.label)
+
+        self.masked_split = None
+        if cfg.get("data_new"):
+            train_mask = np.load(os.path.join(cfg["data_address"], "train.npy"))
+            test_mask = np.load(os.path.join(cfg["data_address"], "test.npy"))
+            self.masked_split = split_labels_masked(train_mask, test_mask)
+
+        try:
+            self.mesh = get_mesh(cfg)
+        except Exception:
+            self.mesh = None
+        if self.mesh is not None and self.mesh.size == 1:
+            self.mesh = None  # single device: skip sharding constraints
+
+        self.split: Split | None = None
+        self.records: dict[str, list] = {"Epoch": [], "Loss": [],
+                                         "ValLoss": []}
+        self.train_time = 0.0
+        self.test_time = 0.0
+        self.test_matrix: np.ndarray | None = None
+
+    # -- splits ------------------------------------------------------------
+    def dataloader(self) -> None:
+        """Re-split for the current repeat (reference BaseSolver.dataloader,
+        basesolver.py:63-105): labeled pixels -> train/test/valid by
+        train_rate/verify_rate, in the reference's [train, test, valid]
+        partition order over one permutation."""
+        cfg = self.cfg
+        rng = np.random.default_rng(int(cfg["seed"]) + int(self.time))
+        if self.masked_split is not None:
+            _, train_ids, test_pool = self.masked_split
+            perm = rng.permutation(test_pool)
+            valid_size = int(cfg["verify_rate"] * len(test_pool))
+            # Reference order: random_split(test, [test_size, valid_size]).
+            test_ids = perm[: len(test_pool) - valid_size]
+            valid_ids = perm[len(test_pool) - valid_size:]
+            train_ids = rng.permutation(train_ids)
+        else:
+            n = len(self.labeled_ids)
+            perm = rng.permutation(self.labeled_ids)
+            train_size = int(cfg["train_rate"] * n)
+            valid_size = int(cfg["verify_rate"] * n)
+            train_ids = perm[:train_size]
+            test_ids = perm[train_size: n - valid_size]
+            valid_ids = perm[n - valid_size:]
+        self.split = Split(train_ids.astype(np.int32),
+                           test_ids.astype(np.int32),
+                           valid_ids.astype(np.int32),
+                           self.labeled_ids, self.unlabeled_ids)
+        self._epoch_rng = rng
+
+    def batches(self, ids: np.ndarray, batch: int, shuffle: bool = False,
+                trim: bool = False):
+        """-> (ids (steps,B), labels (steps,B), mask (steps,B), n)."""
+        ids = np.asarray(ids)
+        if shuffle:
+            ids = self._epoch_rng.permutation(ids)
+        if trim and len(ids) >= batch:
+            ids = ids[: (len(ids) // batch) * batch]
+        chunks, mask, n = batched_ids(jnp.asarray(ids), batch)
+        labels = jnp.asarray(
+            self.labels_flat[np.asarray(chunks).reshape(-1)]
+        ).reshape(chunks.shape)
+        return chunks, labels, mask, n
+
+    # -- reporting ---------------------------------------------------------
+    def indicator(self) -> None:
+        """Save the confusion matrix and export OA/AA/kappa + per-class
+        accuracy to the run workbook (reference basesolver.py:121-126)."""
+        cfg = self.cfg
+        if cfg["test"].get("save_matrix"):
+            os.makedirs(cfg["RESULT_output"], exist_ok=True)
+            np.save(os.path.join(cfg["RESULT_output"],
+                                 f"{self.time}_matrix.npy"), self.test_matrix)
+        result = aa_oa(self.test_matrix)
+        expo_result(result, cfg, [self.train_time, self.test_time], self.time)
+        self.last_result = result
+
+    # -- paths -------------------------------------------------------------
+    def best_weights_path(self) -> str:
+        return os.path.join(self.cfg["RESULT_output"],
+                            f"{self.time}_weights.msgpack")
+
+    def cur_weights_path(self) -> str:
+        return os.path.join(self.cfg["RESULT_output"],
+                            f"{self.time}_curweights.msgpack")
+
+    # -- overridables ------------------------------------------------------
+    def train(self):
+        raise NotImplementedError
+
+    def test(self):
+        raise NotImplementedError
+
+    def color(self):
+        raise NotImplementedError
+
+    def run(self):
+        """Repeat loop (reference mainsolver.py:203-209)."""
+        while self.time < self.TIME:
+            self.dataloader()
+            if self.cfg["train"]["index"]:
+                self.train()
+            if self.cfg["test"]["index"]:
+                self.test()
+            if self.cfg["color"]["index"]:
+                self.color()
+            self.time += 1
+
+    @staticmethod
+    def now() -> float:
+        return time.time()

@@ -1,0 +1,172 @@
+"""MainSolver: train / test / color phases for dual-branch models.
+
+Reference: solver/mainsolver.py.  Semantics kept:
+  * dynamic model construction from ``model_name`` via the registry
+    (mainsolver.py:30-38) with optimizer/loss/scheduler factories,
+  * per-epoch validation with best-weights snapshot and per-epoch
+    "current" checkpoint (mainsolver.py:62-84),
+  * test -> confusion matrix [pred][target] -> indicator
+    (mainsolver.py:90-148).  The reference's leftover debug ``break``
+    after the first test batch (mainsolver.py:142) is *not* reproduced —
+    the intended full-test-set evaluation is (SURVEY.md §2.1 #5),
+  * color(): full-scene per-pixel classification maps, supervised-only
+    and all-pixels variants (mainsolver.py:155-201).
+
+TPU re-design: each epoch is ONE jitted ``lax.scan`` (train and the whole
+full-scene inference likewise), so Python touches the device once per
+epoch, not once per batch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmfusion.models.registry import build_model
+from dmfusion.ops.metrics import render_class_map
+from dmfusion.solvers.base import BaseSolver
+from dmfusion.train.checkpoint import load_checkpoint, save_checkpoint
+from dmfusion.train.losses import make_loss
+from dmfusion.train.optim import make_optimizer
+from dmfusion.train.steps import DualPrograms
+
+
+class Solver(BaseSolver):
+    def __init__(self, cfg: Mapping[str, Any]):
+        super().__init__(cfg)
+        self.model = None
+        self.programs: DualPrograms | None = None
+        self.params = None
+        self.opt_state = None
+        self.best_params = None
+
+    # -- model lifecycle ---------------------------------------------------
+    def init_model(self) -> None:
+        cfg = self.cfg
+        self.model = build_model(cfg)
+        steps_per_epoch = max(
+            1, -(-max(1, len(self.split.train) if self.split else 1)
+                 // cfg["batchsize"]))
+        self.tx = make_optimizer(cfg, steps_per_epoch)
+        loss_name = cfg["schedule"]["loss"]
+        loss_fn = make_loss(loss_name, cfg) if loss_name != "Criterion" else None
+        self.programs = DualPrograms(self.model, self.tx, cfg,
+                                     self.scene.width, self.scene.patch,
+                                     self.mesh, loss_fn)
+        rng = jax.random.PRNGKey(int(cfg["seed"]) + int(self.time))
+        self.params, self.opt_state = self.programs.init(rng)
+
+    # -- phases ------------------------------------------------------------
+    def train(self) -> None:
+        cfg = self.cfg
+        t0 = self.now()
+        if not cfg["train"]["pretrained"] or self.programs is None:
+            self.init_model()
+        best_loss = float("inf")
+        best_epoch = 0
+        save_best = cfg["train"]["save_best"]
+        self.epoch = 0
+        while self.epoch < self.EPOCH:
+            ids, labels, mask, _ = self.batches(self.split.train,
+                                                cfg["batchsize"], shuffle=True)
+            self.params, self.opt_state, losses = self.programs.train_epoch(
+                self.params, self.opt_state, self.scene.ms, self.scene.pan,
+                ids, labels, mask.astype(jnp.float32))
+            train_loss = float(jnp.mean(losses))
+            val_loss = None
+            if save_best:
+                vids, vlabels, vmask, _ = self.batches(
+                    self.split.valid, cfg["color_batchsize"])
+                loss_sum, _ = self.programs.eval_epoch(
+                    self.params, self.scene.ms, self.scene.pan, vids, vlabels,
+                    vmask.astype(jnp.float32))
+                val_loss = float(loss_sum)
+                if val_loss < best_loss:
+                    best_loss = val_loss
+                    best_epoch = self.epoch
+                    self.best_params = jax.tree.map(lambda x: x, self.params)
+                    save_checkpoint(self.best_weights_path(), self.best_params)
+            save_checkpoint(self.cur_weights_path(),
+                            {"params": self.params,
+                             "opt_state": self.opt_state,
+                             "epoch": self.epoch})
+            self.records["Epoch"].append(self.epoch)
+            self.records["Loss"].append(train_loss)
+            self.records["ValLoss"].append(val_loss)
+            if not cfg.get("nohup"):
+                msg = (f"[repeat {self.time}] epoch {self.epoch} "
+                       f"loss {train_loss:.4f}")
+                if val_loss is not None:
+                    msg += f" val {val_loss:.4f} (best ep {best_epoch})"
+                print(msg)
+            self.epoch += 1
+        self.train_time = self.now() - t0
+        self.epoch = 0
+
+    def _load_eval_params(self):
+        cfg = self.cfg
+        if self.programs is None:
+            self.init_model()
+        if cfg["train"]["save_best"]:
+            if self.best_params is not None:
+                return self.best_params
+            return load_checkpoint(self.best_weights_path(), self.params)
+        ckpt = load_checkpoint(
+            self.cur_weights_path(),
+            {"params": self.params, "opt_state": self.opt_state, "epoch": 0})
+        return ckpt["params"]
+
+    def test(self) -> None:
+        cfg = self.cfg
+        t0 = self.now()
+        params = self._load_eval_params()
+        ids, labels, mask, _ = self.batches(self.split.test,
+                                            cfg["test_batchsize"])
+        _, conf = self.programs.eval_epoch(
+            params, self.scene.ms, self.scene.pan, ids, labels,
+            mask.astype(jnp.float32))
+        self.test_matrix = np.asarray(conf)
+        self.test_time = self.now() - t0
+        self.indicator()
+
+    def _predict_ids(self, params, ids: np.ndarray,
+                     batch: int) -> np.ndarray:
+        chunks, _, _, n = self.batches(ids, batch)
+        preds = self.programs.predict(params, self.scene.ms, self.scene.pan,
+                                      chunks)
+        return np.asarray(preds).reshape(-1)[:n]
+
+    def color(self) -> None:
+        """Full-scene classification maps: map1 = supervised (labeled
+        pixels only), map2 = all pixels (reference mainsolver.py:155-201)."""
+        cfg = self.cfg
+        params = self._load_eval_params()
+        h, w = self.scene.height, self.scene.width
+        label_np1 = np.zeros((h, w), np.int32)
+        label_np2 = np.zeros((h, w), np.int32)
+        batch = cfg["color_batchsize"]
+        if cfg["color"]["supervised"]:
+            ids = self.split.labeled
+            preds = self._predict_ids(params, ids, batch)
+            x, y = self.scene.ids_to_xy(ids)
+            label_np1[x, y] = preds
+            label_np2[x, y] = preds
+        if cfg["color"]["unsupervised"]:
+            ids = self.split.unlabeled
+            preds = self._predict_ids(params, ids, batch)
+            x, y = self.scene.ids_to_xy(ids)
+            label_np2[x, y] = preds
+        palette = jnp.asarray(
+            cfg["DATA_DICT"][cfg["data_city"]]["color"], jnp.uint8)
+        os.makedirs(cfg["RESULT_output"], exist_ok=True)
+        from PIL import Image
+        for tag, lab in (("1", label_np1), ("2", label_np2)):
+            img = np.asarray(render_class_map(jnp.asarray(lab), palette))
+            Image.fromarray(img).save(
+                os.path.join(cfg["RESULT_output"],
+                             f"{self.time}_pic_{tag}.png"))
+        self.color_maps = (label_np1, label_np2)

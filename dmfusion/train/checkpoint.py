@@ -1,0 +1,60 @@
+"""Checkpointing: best/current weights + optimizer state + run records.
+
+Reference semantics (utils/utils.py:82-111, solver/mainsolver.py:62-84):
+per-epoch "current" checkpoint of model+optimizer
+(``{t}_curweights.pth``), best-validation weights-only snapshot
+(``{t}_weights.pth``), GAN quartet checkpoints, and a non-strict load
+that tolerates key drift.  Here a checkpoint is one msgpack file written
+with flax.serialization (fast, synchronous, single-file — the torch.save
+ergonomics); ``load`` restores into a like-shaped pytree and, in the
+spirit of the reference's ``strict=False``, keeps the template value for
+any leaf missing from the file.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str | os.PathLike, tree: Any) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    host_tree = jax.tree.map(np.asarray, tree)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(host_tree))
+
+
+def _merge_lenient(template: Any, loaded: Any) -> Any:
+    """Overlay loaded state onto the template, keeping template leaves
+    where the stored file has no (or mis-shaped) counterpart."""
+    if isinstance(template, dict):
+        if not isinstance(loaded, dict):
+            return template
+        return {k: _merge_lenient(v, loaded[k]) if k in loaded else v
+                for k, v in template.items()}
+    if loaded is None:
+        return template
+    t_shape = getattr(template, "shape", None)
+    l_shape = getattr(loaded, "shape", None)
+    if t_shape is not None and l_shape is not None and t_shape != l_shape:
+        return template
+    return loaded
+
+
+def load_checkpoint(path: str | os.PathLike, template: Any,
+                    strict: bool = False) -> Any:
+    with open(path, "rb") as f:
+        data = f.read()
+    if strict:
+        return serialization.from_bytes(template, data)
+    state_dict = serialization.msgpack_restore(data)
+    merged = _merge_lenient(serialization.to_state_dict(template), state_dict)
+    return serialization.from_state_dict(template, merged)
+
+
+def exists(path: str | os.PathLike) -> bool:
+    return os.path.exists(path)

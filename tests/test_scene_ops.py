@@ -67,7 +67,7 @@ def test_pan2ms_phase_interleave(rng):
     p = pan.reshape(2 * h, 2, 2 * w, 2).mean(axis=(1, 3))
     for i in range(c):
         np.testing.assert_allclose(got[:, :, i], p[i % 2::2, i // 2::2],
-                                   rtol=1e-5)
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_unpooling_structure():

@@ -1,0 +1,95 @@
+"""End-to-end: train -> test -> color on the synthetic scene, CPU mesh.
+
+This is the pipeline the reference runs via ``python test.py``
+(train/test/color phases, Excel export, classification maps) compressed
+to seconds (SURVEY.md §4 item 2).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from dmfusion.config import load_config
+from dmfusion.report.excel import Workbook
+
+
+@pytest.fixture(scope="module")
+def run_cfg(tmp_path_factory):
+    out = tmp_path_factory.mktemp("run")
+    return load_config(overrides={
+        "data_city": "synth64",
+        "patch_size": 8,
+        "batchsize": 64,
+        "test_batchsize": 64,
+        "color_batchsize": 64,
+        "epoch": 3,
+        "time": 1,
+        "train_rate": 0.1,
+        "verify_rate": 0.05,
+        "seed": 0,
+        "model_width": 16,
+        "expo_result": str(out) + "/",
+        "color": {"index": 1, "supervised": 1, "unsupervised": 1},
+        "precision": {"compute_dtype": "float32", "param_dtype": "float32"},
+    }, prepare=True)
+
+
+@pytest.fixture(scope="module")
+def finished_solver(run_cfg):
+    from dmfusion.solvers import build_solver
+    solver = build_solver(run_cfg)
+    solver.run()
+    return solver
+
+
+def test_training_learns(finished_solver):
+    losses = finished_solver.records["Loss"]
+    assert len(losses) == 3
+    assert losses[-1] < losses[0]  # synthetic classes are learnable
+
+
+def test_confusion_matrix_and_report(finished_solver, run_cfg):
+    m = finished_solver.test_matrix
+    ncls = run_cfg["Categories_Number"]
+    assert m.shape == (ncls, ncls)
+    # Every test sample lands somewhere; targets never class 0.
+    assert m.sum() == len(finished_solver.split.test)
+    assert m[:, 0].sum() == 0
+    assert os.path.exists(run_cfg["RESULT_excel"])
+    wb = Workbook.load(run_cfg["RESULT_excel"])
+    assert wb.active.cell(6, 2) == "OA"
+    aa, oa, kappa, rows = finished_solver.last_result
+    assert 0 <= oa <= 1 and len(rows) == ncls - 1
+    # 3 epochs on an easy synthetic scene should beat chance comfortably.
+    assert oa > 1.5 / (ncls - 1)
+
+
+def test_checkpoints_written(finished_solver, run_cfg):
+    # run() advanced the repeat counter; repeat 0's files are on disk.
+    out = run_cfg["RESULT_output"]
+    assert os.path.exists(os.path.join(out, "0_weights.msgpack"))
+    assert os.path.exists(os.path.join(out, "0_curweights.msgpack"))
+
+
+def test_color_maps(finished_solver, run_cfg):
+    lab1, lab2 = finished_solver.color_maps
+    h, w, _ = run_cfg["DATA_DICT"]["synth64"]["size"]
+    assert lab1.shape == (h, w)
+    # Supervised map: unlabeled pixels stay background.
+    unlabeled = finished_solver.split.unlabeled
+    x, y = finished_solver.scene.ids_to_xy(unlabeled)
+    assert (lab1[x, y] == 0).all()
+    # All-pixels map covers everything the model predicts (classes >= 0).
+    assert lab2.min() >= 0
+    for tag in ("1", "2"):
+        assert os.path.exists(os.path.join(
+            run_cfg["RESULT_output"], f"0_pic_{tag}.png"))
+
+
+def test_best_weights_reload_consistency(finished_solver):
+    # test() after run() must reuse best params and reproduce the matrix.
+    m1 = finished_solver.test_matrix.copy()
+    finished_solver.time = 0  # rewind repeat counter for path resolution
+    finished_solver.test()
+    np.testing.assert_array_equal(m1, finished_solver.test_matrix)
