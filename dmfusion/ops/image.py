@@ -61,6 +61,7 @@ def tiles_to_scene(tiles: np.ndarray, rows: int, cols: int,
     (reference ``pan_pic_product``, function/function.py:136-146)."""
     n, tile = tiles.shape[0], tiles.shape[1]
     assert n == rows * cols, (n, rows, cols)
-    x = tiles.reshape(rows, cols, tile, tile, *tiles.shape[4:])
-    x = np.moveaxis(x, 2, 1).reshape(rows * tile, cols * tile, *tiles.shape[4:])
+    rest = tiles.shape[3:]
+    x = tiles.reshape(rows, cols, tile, tile, *rest)
+    x = np.moveaxis(x, 2, 1).reshape(rows * tile, cols * tile, *rest)
     return x[: size[0], : size[1]]
