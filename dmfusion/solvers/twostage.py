@@ -1,0 +1,254 @@
+"""TwoStageSolver — the "DQTL" workflow (reference solver/tostagesolver.py).
+
+Stage 1: tile the scene (MS, and PAN converted to pseudo-MS geometry via
+pan2ms with the ``pan.npy`` cache, function/function.py:200-228), train
+the noise-conditioned CycleGAN quartet (train/gan.py), save the four
+checkpoints, reassemble the last epoch's fake tiles into full-scene
+``msgan.npy`` / ``pangan.npy`` artifacts (tostagesolver.py:216-239).
+Naming kept faithful to the reference: ``ms_gan`` assembles gen_P outputs
+("test_ms" collected fake_pan, tostagesolver.py:171) and ``pan_gan``
+assembles gen_M outputs.
+
+Stage 2: pad all four streams at MS geometry (tostagesolver.py:250-253),
+build the 4-stream quad dataset and train the shared ``dqtl`` classifier
+with the quadruplet-KL loss on 4x-batch-concatenated streams
+(tostagesolver.py:259-315); the test/color prediction rule sums MS-stream
+and PAN-stream logits before softmax/argmax (tostagesolver.py:337).
+
+``dqtl.pre_trained`` short-circuits stage 1 by loading the cached
+msgan/pangan arrays (tostagesolver.py:242-246).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmfusion.data.scene import minmax_normalize, pad_scene
+from dmfusion.models.registry import build_model
+from dmfusion.ops.ihs import pan2ms
+from dmfusion.ops.image import scene_to_tiles, tiles_to_scene
+from dmfusion.ops.metrics import render_class_map
+from dmfusion.solvers.main import Solver
+from dmfusion.train.checkpoint import load_checkpoint, save_checkpoint
+from dmfusion.train.gan import GanPrograms
+from dmfusion.train.losses import make_loss
+from dmfusion.train.optim import make_optimizer
+from dmfusion.train.steps import QuadPrograms
+
+
+class TwoStageSolver(Solver):
+    def __init__(self, cfg: Mapping[str, Any]):
+        super().__init__(cfg)
+        self.gan_state = None
+        self.ms_gan: np.ndarray | None = None
+        self.pan_gan: np.ndarray | None = None
+        self.streams = None
+        self._stage2_ready = False
+
+    # -- artifact paths ----------------------------------------------------
+    def _weights_dir(self) -> str:
+        d = os.path.join(self.cfg["expo_result"], self.cfg["dqtl"]["WEIGHTS"])
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _gan_ckpt(self, which: str) -> str:
+        key = {"gP": "check_gH", "gM": "check_gZ",
+               "dP": "check_dH", "dM": "check_dZ"}[which]
+        return os.path.join(self._weights_dir(), self.cfg["dqtl"][key])
+
+    # -- stage 1 -----------------------------------------------------------
+    def _stage1_tiles(self) -> tuple[np.ndarray, np.ndarray, int, int]:
+        """Scene -> normalized pic_size tiles for both modalities
+        (reference data_process_dqtl_stage1)."""
+        cfg = self.cfg
+        pic = int(cfg["dqtl"]["pic_size"])
+        ms = np.asarray(minmax_normalize(jnp.asarray(self.scene.raw_ms)))
+        pan_npy = os.path.join(cfg["data_address"] or self._weights_dir(),
+                               "pan.npy")
+        if os.path.exists(pan_npy):
+            pms = np.load(pan_npy)
+        else:
+            size = (self.scene.height, self.scene.width,
+                    self.scene.raw_ms.shape[-1])
+            pms = np.asarray(pan2ms(jnp.asarray(self.scene.raw_pan), size))
+            np.save(pan_npy, pms)
+        pms = np.asarray(minmax_normalize(jnp.asarray(pms)))
+        ms_tiles, rows, cols = scene_to_tiles(ms, pic)
+        pan_tiles, _, _ = scene_to_tiles(pms, pic)
+        return ms_tiles.astype(np.float32), pan_tiles.astype(np.float32), \
+            rows, cols
+
+    def init_stage1_model(self) -> None:
+        cfg = self.cfg
+        enc = cfg["dqtl"]["encoder_name"]
+        dec = cfg["dqtl"]["decoder_name"]
+        disc_p = build_model(cfg, enc)
+        disc_m = build_model(cfg, enc)
+        gen_m = build_model(cfg, dec)
+        gen_p = build_model(cfg, dec)
+        self.gan_programs = GanPrograms(gen_p, gen_m, disc_p, disc_m, cfg)
+        rng = jax.random.PRNGKey(int(cfg["seed"]))
+        channels = self.scene.raw_ms.shape[-1]
+        self.gan_state = self.gan_programs.init(
+            rng, int(cfg["dqtl"]["pic_size"]), channels)
+        if cfg["dqtl"].get("load_model"):
+            for which in ("gP", "gM", "dP", "dM"):
+                path = self._gan_ckpt(which)
+                if os.path.exists(path):
+                    self.gan_state["params"][which] = load_checkpoint(
+                        path, self.gan_state["params"][which])
+
+    def train_stage1(self) -> None:
+        cfg = self.cfg
+        d = cfg["dqtl"]
+        ms_tiles, pan_tiles, rows, cols = self._stage1_tiles()
+        self.init_stage1_model()
+        bs = int(d["batch_size"])
+        n = ms_tiles.shape[0]
+        steps = -(-n // bs)
+        pad = steps * bs - n
+        # Pad the tile list by wrapping so every batch is full; the
+        # reassembly below slices back to the true tile count.
+        idx = np.arange(steps * bs) % n
+        m_b = jnp.asarray(ms_tiles[idx]).reshape(steps, bs,
+                                                 *ms_tiles.shape[1:])
+        p_b = jnp.asarray(pan_tiles[idx]).reshape(steps, bs,
+                                                  *pan_tiles.shape[1:])
+        rng = jax.random.PRNGKey(int(cfg["seed"]) + 1)
+        last = None
+        for epoch in range(int(d["epochs"])):
+            rng, sub = jax.random.split(rng)
+            keys = jax.random.split(sub, steps)
+            self.gan_state, out = self.gan_programs.train_epoch(
+                self.gan_state, m_b, p_b, keys)
+            last = out
+            if not cfg.get("nohup"):
+                print(f"[stage1] epoch {epoch} "
+                      f"d_loss {float(out['d_loss'][-1]):.4f} "
+                      f"g_loss {float(out['g_loss'][-1]):.4f}")
+        if d.get("save_model"):
+            for which in ("gP", "gM", "dP", "dM"):
+                save_checkpoint(self._gan_ckpt(which),
+                                self.gan_state["params"][which])
+        # Reassemble the last epoch's fakes into full scenes.  Reference
+        # naming preserved: ms_gan <- fake_pan, pan_gan <- fake_ms
+        # (tostagesolver.py:171-172,225-226).
+        fp = np.asarray(last["fake_pan"]).reshape(steps * bs,
+                                                  *ms_tiles.shape[1:])[:n]
+        fm = np.asarray(last["fake_ms"]).reshape(steps * bs,
+                                                 *pan_tiles.shape[1:])[:n]
+        size = (self.scene.height, self.scene.width)
+        self.ms_gan = tiles_to_scene(fp, rows, cols, size)
+        self.pan_gan = tiles_to_scene(fm, rows, cols, size)
+        np.save(os.path.join(self._weights_dir(), "msgan.npy"), self.ms_gan)
+        np.save(os.path.join(self._weights_dir(), "pangan.npy"), self.pan_gan)
+
+    # -- stage 2 -----------------------------------------------------------
+    def train_stage2_setup(self) -> None:
+        cfg = self.cfg
+        if cfg["dqtl"].get("pre_trained"):
+            self.ms_gan = np.load(os.path.join(self._weights_dir(),
+                                               "msgan.npy"))
+            self.pan_gan = np.load(os.path.join(self._weights_dir(),
+                                                "pangan.npy"))
+        elif self.ms_gan is None:
+            self.train_stage1()
+        ps = self.scene.patch
+        size = (self.scene.height, self.scene.width,
+                self.scene.raw_ms.shape[-1])
+        pms = np.asarray(pan2ms(jnp.asarray(self.scene.raw_pan), size))
+
+        def prep(arr):
+            return pad_scene(minmax_normalize(jnp.asarray(
+                np.asarray(arr, np.float32))), ps)
+
+        self.streams = (prep(self.scene.raw_ms), prep(pms),
+                        prep(self.ms_gan), prep(self.pan_gan))
+        self._stage2_ready = True
+
+    def init_model(self) -> None:
+        cfg = self.cfg
+        if not self._stage2_ready:
+            self.train_stage2_setup()
+        self.model = build_model(cfg)
+        steps_per_epoch = max(1, -(-max(
+            1, len(self.split.train) if self.split else 1)
+            // cfg["batchsize"]))
+        self.tx = make_optimizer(cfg, steps_per_epoch)
+        loss_fn = make_loss("qua_loss", cfg)
+        self.programs = QuadPrograms(self.model, self.tx, cfg,
+                                     self.scene.width, ps := self.scene.patch,
+                                     self.streams, self.mesh, loss_fn)
+        rng = jax.random.PRNGKey(int(cfg["seed"]) + int(self.time))
+        self.params, self.opt_state = self.programs.init(rng)
+
+    # -- phases (override gather signatures) -------------------------------
+    def train(self) -> None:
+        cfg = self.cfg
+        t0 = self.now()
+        self.init_model()
+        best_loss = float("inf")
+        save_best = cfg["train"]["save_best"]
+        self.epoch = 0
+        while self.epoch < self.EPOCH:
+            ids, labels, mask, _ = self.batches(self.split.train,
+                                                cfg["batchsize"],
+                                                shuffle=True, trim=True)
+            self.params, self.opt_state, losses = self.programs.train_epoch(
+                self.params, self.opt_state, ids, labels,
+                mask.astype(jnp.float32))
+            train_loss = float(jnp.mean(losses))
+            val_loss = None
+            if save_best:
+                vids, vlabels, vmask, _ = self.batches(
+                    self.split.valid, cfg["color_batchsize"])
+                loss_sum, _ = self.programs.eval_epoch(
+                    self.params, vids, vlabels, vmask.astype(jnp.float32))
+                val_loss = float(loss_sum)
+                if val_loss < best_loss:
+                    best_loss = val_loss
+                    self.best_params = jax.tree.map(lambda x: x, self.params)
+                    save_checkpoint(self.best_weights_path(),
+                                    self.best_params)
+            save_checkpoint(self.cur_weights_path(),
+                            {"params": self.params,
+                             "opt_state": self.opt_state,
+                             "epoch": self.epoch})
+            self.records["Epoch"].append(self.epoch)
+            self.records["Loss"].append(train_loss)
+            self.records["ValLoss"].append(val_loss)
+            if not cfg.get("nohup"):
+                print(f"[stage2 repeat {self.time}] epoch {self.epoch} "
+                      f"loss {train_loss:.4f}")
+            self.epoch += 1
+        self.train_time = self.now() - t0
+        self.epoch = 0
+
+    def test(self) -> None:
+        cfg = self.cfg
+        t0 = self.now()
+        params = self._load_eval_params()
+        ids, labels, mask, _ = self.batches(self.split.test,
+                                            cfg["test_batchsize"])
+        _, conf = self.programs.eval_epoch(params, ids, labels,
+                                           mask.astype(jnp.float32))
+        self.test_matrix = np.asarray(conf)
+        self.test_time = self.now() - t0
+        self.indicator()
+
+    def _predict_ids(self, params, ids: np.ndarray,
+                     batch: int) -> np.ndarray:
+        chunks, _, _, n = self.batches(ids, batch)
+        preds = self.programs.predict(params, chunks)
+        return np.asarray(preds).reshape(-1)[:n]
+
+    def run(self) -> None:
+        """Stage-2 setup once, then the standard repeat loop
+        (tostagesolver.py:407-414)."""
+        self.train_stage2_setup()
+        super().run()

@@ -8,7 +8,12 @@ no TPU attached.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the host platform even when a TPU plugin is wired into the
+# interpreter via sitecustomize (which pre-imports jax and pins
+# JAX_PLATFORMS, so env edits here would be too late — the config update
+# below still wins as long as no backend has initialized).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +21,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8, \
+    "test suite must run on the 8-device virtual CPU mesh"
+
 jax.config.update("jax_default_matmul_precision", "float32")
+# Persistent compilation cache: this CI box has a single CPU core, so
+# XLA compiles dominate test wall-clock; caching makes re-runs cheap.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
