@@ -1,0 +1,44 @@
+"""Checkpoint save/load incl. the reference's non-strict-load spirit
+(utils/utils.py:91-111: strict=False tolerates key drift)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmfusion.train.checkpoint import load_checkpoint, save_checkpoint
+
+
+def test_roundtrip(tmp_path):
+    tree = {"params": {"w": jnp.arange(6.0).reshape(2, 3),
+                       "b": jnp.zeros((3,))},
+            "epoch": 7}
+    path = tmp_path / "ck.msgpack"
+    save_checkpoint(path, tree)
+    like = {"params": {"w": jnp.zeros((2, 3)), "b": jnp.ones((3,))},
+            "epoch": 0}
+    out = load_checkpoint(path, like)
+    np.testing.assert_array_equal(np.asarray(out["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    assert int(out["epoch"]) == 7
+
+
+def test_lenient_load_missing_key(tmp_path):
+    save_checkpoint(tmp_path / "ck", {"a": jnp.ones((2,))})
+    template = {"a": jnp.zeros((2,)), "extra": jnp.full((3,), 5.0)}
+    out = load_checkpoint(tmp_path / "ck", template)
+    np.testing.assert_array_equal(np.asarray(out["a"]), [1, 1])
+    np.testing.assert_array_equal(np.asarray(out["extra"]), [5, 5, 5])
+
+
+def test_lenient_load_shape_mismatch(tmp_path):
+    save_checkpoint(tmp_path / "ck", {"w": jnp.ones((4, 4))})
+    template = {"w": jnp.zeros((2, 2))}
+    out = load_checkpoint(tmp_path / "ck", template)
+    # Mis-shaped leaf is kept from the template (non-strict survival).
+    assert np.asarray(out["w"]).shape == (2, 2)
+
+
+def test_strict_load_mismatch_raises(tmp_path):
+    save_checkpoint(tmp_path / "ck", {"a": jnp.ones((2,))})
+    with pytest.raises(Exception):
+        load_checkpoint(tmp_path / "ck", {"b": jnp.zeros((2,))}, strict=True)

@@ -1,0 +1,95 @@
+"""Multi-chip sharding paths on the virtual 8-device CPU mesh — the
+TPU-native analog of multi-node tests without a cluster (SURVEY.md §4.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from dmfusion.parallel.mesh import batch_sharding, get_mesh, shard_batch
+
+
+def test_mesh_axes():
+    mesh = get_mesh({"mesh": {"data": -1, "model": 1}})
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.size == 8
+    mesh2 = get_mesh({"mesh": {"data": 4, "model": 2}})
+    assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+
+
+def test_batch_sharding_distributes():
+    mesh = get_mesh({"mesh": {"data": -1, "model": 1}})
+    x = jnp.arange(64.0)
+    xs = jax.device_put(x, batch_sharding(mesh, 1))
+    assert len(xs.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(xs), np.arange(64.0))
+
+
+def test_sharded_train_step_matches_single_device(small_cfg, small_scene):
+    """The DP+constraint path must be numerically identical to the
+    unsharded program (XLA inserts the collectives; semantics unchanged)."""
+    from dmfusion.models import build_model
+    from dmfusion.train.optim import make_optimizer
+    from dmfusion.train.steps import DualPrograms
+
+    cfg = dict(small_cfg)
+    cfg["model_width"] = 8
+    # SGD so updates are linear in grads: Adam's first-step normalization
+    # amplifies reduction-order float noise on near-zero grads.
+    cfg["schedule"] = dict(cfg["schedule"], optimizer="SGD")
+    scene = small_scene
+    model = build_model(cfg, "gmfnet")
+    mesh = get_mesh({"mesh": {"data": -1, "model": 1}})
+
+    ids = jnp.arange(16, dtype=jnp.int32).reshape(1, 16) * 7
+    labels = jnp.asarray(
+        scene.label.reshape(-1)[np.asarray(ids).reshape(-1)]).reshape(1, 16)
+    mask = jnp.ones((1, 16), jnp.float32)
+
+    losses = {}
+    params_out = {}
+    for name, m in (("sharded", mesh), ("single", None)):
+        tx = make_optimizer(cfg, 1)
+        prog = DualPrograms(model, tx, cfg, scene.width, scene.patch, m)
+        params, opt_state = prog.init(jax.random.PRNGKey(0))
+        params, opt_state, loss = prog.train_epoch(
+            params, opt_state, scene.ms, scene.pan, ids, labels, mask)
+        losses[name] = float(loss[0])
+        params_out[name] = jax.tree.map(np.asarray, params)
+
+    np.testing.assert_allclose(losses["sharded"], losses["single"],
+                               rtol=1e-5)
+    flat_s = jax.tree.leaves(params_out["sharded"])
+    flat_1 = jax.tree.leaves(params_out["single"])
+    for a, b in zip(flat_s, flat_1):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_graft_dryrun_8dev():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)  # asserts internally on finite loss
+
+
+def test_sharded_inference_covers_scene(small_cfg, small_scene):
+    """Full-scene predict with pixel anchors sharded over 'data'."""
+    from dmfusion.models import build_model
+    from dmfusion.train.optim import make_optimizer
+    from dmfusion.train.steps import DualPrograms
+
+    cfg = dict(small_cfg)
+    cfg["model_width"] = 8
+    scene = small_scene
+    mesh = get_mesh(None)
+    model = build_model(cfg, "gmfnet")
+    prog = DualPrograms(model, make_optimizer(cfg, 1), cfg, scene.width,
+                        scene.patch, mesh)
+    params, _ = prog.init(jax.random.PRNGKey(0))
+    n = scene.num_pixels
+    batch = 256
+    steps = -(-n // batch)
+    ids = jnp.arange(steps * batch, dtype=jnp.int32) % n
+    preds = prog.predict(params, scene.ms, scene.pan,
+                         ids.reshape(steps, batch))
+    flat = np.asarray(preds).reshape(-1)[:n]
+    assert flat.shape == (n,)
+    assert (flat >= 0).all() and (flat < cfg["Categories_Number"]).all()

@@ -1,0 +1,81 @@
+"""Two-stage (DQTL) workflow end-to-end on the synthetic scene
+(reference solver/tostagesolver.py:407-414)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dmfusion.config import load_config
+
+
+@pytest.fixture(scope="module")
+def ts_cfg(tmp_path_factory):
+    out = tmp_path_factory.mktemp("twostage")
+    return load_config(overrides={
+        "data_city": "synth64",
+        "solver": "twostage",
+        "model_name": "dqtl",
+        "patch_size": 8,
+        "model_width": 8,
+        "gan_width": 8,
+        "batchsize": 32,
+        "test_batchsize": 32,
+        "color_batchsize": 32,
+        "epoch": 2,
+        "time": 1,
+        "train_rate": 0.1,
+        "verify_rate": 0.05,
+        "seed": 0,
+        "expo_result": str(out) + "/",
+        "dqtl": {"pic_size": 32, "epochs": 1, "batch_size": 2,
+                 "save_model": 1},
+        "precision": {"compute_dtype": "float32", "param_dtype": "float32"},
+    }, prepare=True)
+
+
+@pytest.fixture(scope="module")
+def solver(ts_cfg):
+    from dmfusion.solvers import build_solver
+    s = build_solver(ts_cfg)
+    s.run()
+    return s
+
+
+def test_stage1_artifacts(solver, ts_cfg):
+    h, w, c = ts_cfg["DATA_DICT"]["synth64"]["size"]
+    assert solver.ms_gan.shape == (h, w, c)
+    assert solver.pan_gan.shape == (h, w, c)
+    wdir = os.path.join(ts_cfg["expo_result"], ts_cfg["dqtl"]["WEIGHTS"])
+    for f in ("msgan.npy", "pangan.npy", "gen_p.ckpt", "gen_m.ckpt",
+              "disc_p.ckpt", "disc_m.ckpt"):
+        assert os.path.exists(os.path.join(wdir, f)), f
+    assert np.isfinite(solver.ms_gan).all()
+
+
+def test_stage2_streams_geometry(solver, ts_cfg):
+    ps = ts_cfg["patch_size"]
+    h, w, c = ts_cfg["DATA_DICT"]["synth64"]["size"]
+    for s in solver.streams:
+        assert s.shape == (h + ps - 1, w + ps - 1, c)
+
+
+def test_stage2_trains_and_reports(solver, ts_cfg):
+    assert len(solver.records["Loss"]) == 2
+    assert all(np.isfinite(l) for l in solver.records["Loss"])
+    m = solver.test_matrix
+    ncls = ts_cfg["Categories_Number"]
+    assert m.shape == (ncls, ncls)
+    assert m.sum() == len(solver.split.test)
+    assert os.path.exists(ts_cfg["RESULT_excel"])
+
+
+def test_pretrained_fast_path(ts_cfg):
+    # pre_trained short-circuits stage 1 by loading cached artifacts
+    # (reference tostagesolver.py:242-246).
+    from dmfusion.solvers.twostage import TwoStageSolver
+    cfg = dict(ts_cfg)
+    cfg["dqtl"] = dict(cfg["dqtl"], pre_trained=1)
+    s = TwoStageSolver(cfg)
+    s.train_stage2_setup()
+    assert s.ms_gan is not None and s.gan_state is None  # no GAN training
