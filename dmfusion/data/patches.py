@@ -64,6 +64,35 @@ def gather_quad(ms: jnp.ndarray, pan_ms: jnp.ndarray, ms_gan: jnp.ndarray,
                  for img in (ms, pan_ms, ms_gan, pan_gan))
 
 
+@functools.partial(jax.jit, static_argnames=("width", "patch"))
+def gather_one(img: jnp.ndarray, ids: jnp.ndarray, width: int,
+               patch: int) -> jnp.ndarray:
+    """Single-modality windows (reference dataset_one,
+    train/dataset.py:133-155)."""
+    x, y = ids_to_xy(ids, width)
+    img3 = img[..., None] if img.ndim == 2 else img
+    return gather_windows(img3, x, y, patch)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "patch"))
+def gather_tri(ms: jnp.ndarray, pan: jnp.ndarray, mspan: jnp.ndarray,
+               ids: jnp.ndarray, width: int, patch: int
+               ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """MS window + PAN window + IHS-fused MSPAN window (the MSPAN stream
+    is at PAN geometry — reference dataset_tri, train/dataset.py:248-282).
+
+    ``mspan`` is typically :func:`dmfusion.ops.ihs.ihs_transform` of the
+    scene, padded like PAN.
+    """
+    x, y = ids_to_xy(ids, width)
+    ms_p = gather_windows(ms, x, y, patch)
+    pan3 = pan[..., None] if pan.ndim == 2 else pan
+    mspan3 = mspan[..., None] if mspan.ndim == 2 else mspan
+    pan_p = gather_windows(pan3, 4 * x, 4 * y, 4 * patch)
+    mspan_p = gather_windows(mspan3, 4 * x, 4 * y, 4 * patch)
+    return ms_p, pan_p, mspan_p
+
+
 def batched_ids(ids: jnp.ndarray, batch: int,
                 fill_value: int = 0) -> tuple[jnp.ndarray, jnp.ndarray, int]:
     """Pad ``ids`` to a multiple of ``batch`` and reshape to (steps, batch).

@@ -52,9 +52,34 @@ def build_model(cfg: Mapping[str, Any], name: str | None = None):
     return cls(cfg=dict(cfg))
 
 
+# Model input contract: how the solver gathers and feeds patches.
+#   dual  -> model(ms, pan)             (dataset_dual role)
+#   tri   -> model(ms, pan, mspan)      (dataset_tri role, IHS stream)
+#   quad  -> model(x4)                  (dataset_qua_dqtl role)
+#   image -> model(img)                 (GAN tiles)
+_ARITY = {
+    "tri_net": "tri",
+    "dqtl": "quad",
+    "generator": "image",
+    "discriminator": "image",
+}
+
+
+def model_arity(name: str) -> str:
+    key = name.lower()
+    if key in _ARITY:
+        return _ARITY[key]
+    module_name = _ALIASES.get(key, key)
+    try:
+        mod = importlib.import_module(f"dmfusion.models.{module_name}")
+        return getattr(mod, "ARITY", "dual")
+    except ImportError:
+        return "dual"
+
+
 def available_models() -> list[str]:
     return sorted(set(list(_EXPLICIT) + [
         "gmfnet", "resnet18", "cross_net", "vision_transformer",
-        "swin_transformer", "swin_t_dual", "ct_lstm", "dqtl",
+        "swin_transformer", "swin_t_dual", "ct_lstm", "dqtl", "tri_net",
         "generator", "discriminator",
     ]))

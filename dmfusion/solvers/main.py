@@ -1,4 +1,4 @@
-"""MainSolver: train / test / color phases for dual-branch models.
+"""MainSolver: train / test / color phases for patch classifiers.
 
 Reference: solver/mainsolver.py.  Semantics kept:
   * dynamic model construction from ``model_name`` via the registry
@@ -10,7 +10,14 @@ Reference: solver/mainsolver.py.  Semantics kept:
     after the first test batch (mainsolver.py:142) is *not* reproduced —
     the intended full-test-set evaluation is (SURVEY.md §2.1 #5),
   * color(): full-scene per-pixel classification maps, supervised-only
-    and all-pixels variants (mainsolver.py:155-201).
+    and all-pixels variants (mainsolver.py:155-201),
+  * resume: actually wired (the reference scaffolds epoch/records resume
+    but never calls it, basesolver.py:107-119) — set ``train.resume: 1``
+    to continue a repeat from its ``curweights`` checkpoint.
+
+Model input arity is taken from the registry: dual (ms, pan), tri
+(+ IHS-fused MSPAN stream at PAN geometry), or single — the solver
+builds the matching gather program and scene tensors.
 
 TPU re-design: each epoch is ONE jitted ``lax.scan`` (train and the whole
 full-scene inference likewise), so Python touches the device once per
@@ -26,13 +33,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dmfusion.models.registry import build_model
+from dmfusion.models.registry import build_model, model_arity
 from dmfusion.ops.metrics import render_class_map
 from dmfusion.solvers.base import BaseSolver
-from dmfusion.train.checkpoint import load_checkpoint, save_checkpoint
+from dmfusion.train.checkpoint import exists, load_checkpoint, save_checkpoint
 from dmfusion.train.losses import make_loss
 from dmfusion.train.optim import make_optimizer
-from dmfusion.train.steps import DualPrograms
+from dmfusion.train.steps import DualPrograms, SinglePrograms, TriPrograms
 
 
 class Solver(BaseSolver):
@@ -43,20 +50,44 @@ class Solver(BaseSolver):
         self.params = None
         self.opt_state = None
         self.best_params = None
+        self.scene_args: tuple | None = None
 
     # -- model lifecycle ---------------------------------------------------
+    def _make_scene_args(self, arity: str) -> tuple:
+        if arity == "dual":
+            return (self.scene.ms, self.scene.pan)
+        if arity == "single":
+            return (self.scene.ms,)
+        if arity == "tri":
+            from dmfusion.data.scene import minmax_normalize, pad_scene
+            from dmfusion.ops.ihs import ihs_transform
+            mspan = ihs_transform(
+                jnp.asarray(self.scene.raw_ms, jnp.float32),
+                jnp.asarray(self.scene.raw_pan, jnp.float32),
+                jax.random.PRNGKey(int(self.cfg["seed"])))
+            mspan = pad_scene(minmax_normalize(mspan), 4 * self.scene.patch)
+            return (self.scene.ms, self.scene.pan, mspan)
+        raise ValueError(f"unsupported model arity {arity!r} for MainSolver")
+
+    def _programs_cls(self, arity: str):
+        return {"dual": DualPrograms, "tri": TriPrograms,
+                "single": SinglePrograms}[arity]
+
     def init_model(self) -> None:
         cfg = self.cfg
         self.model = build_model(cfg)
+        arity = model_arity(cfg["model_name"])
+        if self.scene_args is None:
+            self.scene_args = self._make_scene_args(arity)
         steps_per_epoch = max(
             1, -(-max(1, len(self.split.train) if self.split else 1)
                  // cfg["batchsize"]))
         self.tx = make_optimizer(cfg, steps_per_epoch)
         loss_name = cfg["schedule"]["loss"]
         loss_fn = make_loss(loss_name, cfg) if loss_name != "Criterion" else None
-        self.programs = DualPrograms(self.model, self.tx, cfg,
-                                     self.scene.width, self.scene.patch,
-                                     self.mesh, loss_fn)
+        self.programs = self._programs_cls(arity)(
+            self.model, self.tx, cfg, self.scene.width, self.scene.patch,
+            self.mesh, loss_fn)
         rng = jax.random.PRNGKey(int(cfg["seed"]) + int(self.time))
         self.params, self.opt_state = self.programs.init(rng)
 
@@ -70,11 +101,20 @@ class Solver(BaseSolver):
         best_epoch = 0
         save_best = cfg["train"]["save_best"]
         self.epoch = 0
+        if cfg["train"].get("resume") and exists(self.cur_weights_path()):
+            ckpt = load_checkpoint(self.cur_weights_path(), {
+                "params": self.params, "opt_state": self.opt_state,
+                "epoch": 0})
+            self.params = ckpt["params"]
+            self.opt_state = ckpt["opt_state"]
+            self.epoch = int(ckpt["epoch"]) + 1
+            if not cfg.get("nohup"):
+                print(f"[repeat {self.time}] resumed at epoch {self.epoch}")
         while self.epoch < self.EPOCH:
             ids, labels, mask, _ = self.batches(self.split.train,
                                                 cfg["batchsize"], shuffle=True)
             self.params, self.opt_state, losses = self.programs.train_epoch(
-                self.params, self.opt_state, self.scene.ms, self.scene.pan,
+                self.params, self.opt_state, self.scene_args,
                 ids, labels, mask.astype(jnp.float32))
             train_loss = float(jnp.mean(losses))
             val_loss = None
@@ -82,7 +122,7 @@ class Solver(BaseSolver):
                 vids, vlabels, vmask, _ = self.batches(
                     self.split.valid, cfg["color_batchsize"])
                 loss_sum, _ = self.programs.eval_epoch(
-                    self.params, self.scene.ms, self.scene.pan, vids, vlabels,
+                    self.params, self.scene_args, vids, vlabels,
                     vmask.astype(jnp.float32))
                 val_loss = float(loss_sum)
                 if val_loss < best_loss:
@@ -127,8 +167,7 @@ class Solver(BaseSolver):
         ids, labels, mask, _ = self.batches(self.split.test,
                                             cfg["test_batchsize"])
         _, conf = self.programs.eval_epoch(
-            params, self.scene.ms, self.scene.pan, ids, labels,
-            mask.astype(jnp.float32))
+            params, self.scene_args, ids, labels, mask.astype(jnp.float32))
         self.test_matrix = np.asarray(conf)
         self.test_time = self.now() - t0
         self.indicator()
@@ -136,8 +175,7 @@ class Solver(BaseSolver):
     def _predict_ids(self, params, ids: np.ndarray,
                      batch: int) -> np.ndarray:
         chunks, _, _, n = self.batches(ids, batch)
-        preds = self.programs.predict(params, self.scene.ms, self.scene.pan,
-                                      chunks)
+        preds = self.programs.predict(params, self.scene_args, chunks)
         return np.asarray(preds).reshape(-1)[:n]
 
     def color(self) -> None:

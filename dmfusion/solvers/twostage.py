@@ -169,6 +169,7 @@ class TwoStageSolver(Solver):
 
         self.streams = (prep(self.scene.raw_ms), prep(pms),
                         prep(self.ms_gan), prep(self.pan_gan))
+        self.scene_args = self.streams
         self._stage2_ready = True
 
     def init_model(self) -> None:
@@ -182,8 +183,8 @@ class TwoStageSolver(Solver):
         self.tx = make_optimizer(cfg, steps_per_epoch)
         loss_fn = make_loss("qua_loss", cfg)
         self.programs = QuadPrograms(self.model, self.tx, cfg,
-                                     self.scene.width, ps := self.scene.patch,
-                                     self.streams, self.mesh, loss_fn)
+                                     self.scene.width, self.scene.patch,
+                                     self.mesh, loss_fn)
         rng = jax.random.PRNGKey(int(cfg["seed"]) + int(self.time))
         self.params, self.opt_state = self.programs.init(rng)
 
@@ -200,7 +201,7 @@ class TwoStageSolver(Solver):
                                                 cfg["batchsize"],
                                                 shuffle=True, trim=True)
             self.params, self.opt_state, losses = self.programs.train_epoch(
-                self.params, self.opt_state, ids, labels,
+                self.params, self.opt_state, self.scene_args, ids, labels,
                 mask.astype(jnp.float32))
             train_loss = float(jnp.mean(losses))
             val_loss = None
@@ -208,7 +209,8 @@ class TwoStageSolver(Solver):
                 vids, vlabels, vmask, _ = self.batches(
                     self.split.valid, cfg["color_batchsize"])
                 loss_sum, _ = self.programs.eval_epoch(
-                    self.params, vids, vlabels, vmask.astype(jnp.float32))
+                    self.params, self.scene_args, vids, vlabels,
+                    vmask.astype(jnp.float32))
                 val_loss = float(loss_sum)
                 if val_loss < best_loss:
                     best_loss = val_loss
@@ -235,17 +237,11 @@ class TwoStageSolver(Solver):
         params = self._load_eval_params()
         ids, labels, mask, _ = self.batches(self.split.test,
                                             cfg["test_batchsize"])
-        _, conf = self.programs.eval_epoch(params, ids, labels,
-                                           mask.astype(jnp.float32))
+        _, conf = self.programs.eval_epoch(params, self.scene_args, ids,
+                                           labels, mask.astype(jnp.float32))
         self.test_matrix = np.asarray(conf)
         self.test_time = self.now() - t0
         self.indicator()
-
-    def _predict_ids(self, params, ids: np.ndarray,
-                     batch: int) -> np.ndarray:
-        chunks, _, _, n = self.batches(ids, batch)
-        preds = self.programs.predict(params, chunks)
-        return np.asarray(preds).reshape(-1)[:n]
 
     def run(self) -> None:
         """Stage-2 setup once, then the standard repeat loop

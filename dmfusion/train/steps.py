@@ -7,11 +7,17 @@ patch gather, forward, backward, optimizer update and metric accumulation
 all fuse into one XLA program that never leaves the device.  Batches are
 sharded over the mesh 'data' axis via sharding constraints; XLA inserts
 the gradient ``psum`` automatically.
+
+Program variants mirror the reference's dataset family
+(train/dataset.py): Dual (dataset_dual), Tri (dataset_tri, + IHS MSPAN
+stream), Quad (dataset_qua_dqtl, 4 aligned streams concatenated on the
+batch axis).  All share one interface: every epoch entry point takes a
+``scene_args`` tuple of HBM-resident scene tensors plus (steps, B) id /
+label / mask arrays.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Mapping
 
 import jax
@@ -19,7 +25,8 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh
 
-from dmfusion.data.patches import gather_dual, gather_quad
+from dmfusion.data.patches import (gather_dual, gather_quad, gather_tri,
+                                   gather_windows, ids_to_xy)
 from dmfusion.ops.metrics import confusion_matrix
 from dmfusion.parallel.mesh import shard_batch
 from dmfusion.train.losses import cross_entropy
@@ -30,7 +37,7 @@ class DualPrograms:
 
     Built once per (model, optimizer, scene geometry); reused across
     epochs and experiment repeats — static shapes mean exactly one XLA
-    compile per program.
+    compile per program shape.
     """
 
     def __init__(self, model, tx: optax.GradientTransformation,
@@ -51,17 +58,31 @@ class DualPrograms:
         self.predict = jax.jit(self._predict)
         self.train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
 
-    # -- initialization ----------------------------------------------------
-    def init(self, rng: jax.Array):
+    # -- model plumbing (overridden by Tri/Quad) ---------------------------
+    def example_inputs(self) -> tuple:
         ps = self.patch
-        ms = jnp.zeros((1, ps, ps, 4), jnp.float32)
-        pan = jnp.zeros((1, 4 * ps, 4 * ps, 1), jnp.float32)
-        variables = self.model.init(rng, ms, pan)
-        params = variables["params"]
+        return (jnp.zeros((1, ps, ps, 4), jnp.float32),
+                jnp.zeros((1, 4 * ps, 4 * ps, 1), jnp.float32))
+
+    def _gather(self, scene_args: tuple, ids_b: jnp.ndarray) -> tuple:
+        ids_b = shard_batch(self.mesh, ids_b)
+        ms_b, pan_b = gather_dual(scene_args[0], scene_args[1], ids_b,
+                                  self.width, self.patch)
+        return shard_batch(self.mesh, ms_b), shard_batch(self.mesh, pan_b)
+
+    def init(self, rng: jax.Array):
+        params = self.model.init(rng, *self.example_inputs())["params"]
         return params, self.tx.init(params)
 
-    def apply(self, params, ms_b, pan_b):
-        return self.model.apply({"params": params}, ms_b, pan_b)
+    def apply(self, params, *inputs):
+        return self.model.apply({"params": params}, *inputs)
+
+    def _batch_loss(self, params, inputs, labels_b, mask_b):
+        return self.loss_fn(self.apply(params, *inputs), labels_b, mask_b)
+
+    def _batch_pred(self, params, inputs, _bs):
+        return jnp.argmax(self.apply(params, *inputs), axis=-1) \
+                  .astype(jnp.int32)
 
     # -- one optimizer step (exposed for the graft entry / profiling) ------
     def _train_step(self, params, opt_state, ms_b, pan_b, labels_b):
@@ -73,14 +94,7 @@ class DualPrograms:
         return params, opt_state, loss
 
     # -- whole-epoch programs ----------------------------------------------
-    def _gather(self, ms_img, pan_img, ids_b):
-        ids_b = shard_batch(self.mesh, ids_b)
-        ms_b, pan_b = gather_dual(ms_img, pan_img, ids_b, self.width,
-                                  self.patch)
-        return shard_batch(self.mesh, ms_b), shard_batch(self.mesh, pan_b)
-
-    def _train_epoch(self, params, opt_state, ms_img, pan_img, ids, labels,
-                     mask):
+    def _train_epoch(self, params, opt_state, scene_args, ids, labels, mask):
         """ids/labels/mask: (steps, B) -> (params, opt_state, step losses).
 
         ``mask`` zero-weights the padding tail of the last partial batch so
@@ -89,11 +103,9 @@ class DualPrograms:
         def body(carry, batch):
             params, opt_state = carry
             ids_b, labels_b, mask_b = batch
-            ms_b, pan_b = self._gather(ms_img, pan_img, ids_b)
-            def lf(p):
-                return self.loss_fn(self.apply(p, ms_b, pan_b), labels_b,
-                                    mask_b)
-            loss, grads = jax.value_and_grad(lf)(params)
+            inputs = self._gather(scene_args, ids_b)
+            loss, grads = jax.value_and_grad(self._batch_loss)(
+                params, inputs, labels_b, mask_b)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -101,7 +113,7 @@ class DualPrograms:
             body, (params, opt_state), (ids, labels, mask))
         return params, opt_state, losses
 
-    def _eval_epoch(self, params, ms_img, pan_img, ids, labels, mask):
+    def _eval_epoch(self, params, scene_args, ids, labels, mask):
         """Masked eval: returns (sample-weighted loss sum, confusion matrix).
 
         The loss sum matches the reference's ``val_loss += loss.item() *
@@ -111,12 +123,10 @@ class DualPrograms:
         def body(carry, batch):
             loss_sum, conf = carry
             ids_b, labels_b, mask_b = batch
-            ms_b, pan_b = self._gather(ms_img, pan_img, ids_b)
-            logits = self.apply(params, ms_b, pan_b)
-            per = optax.softmax_cross_entropy_with_integer_labels(
-                logits, labels_b.astype(jnp.int32))
-            loss_sum = loss_sum + (per * mask_b).sum()
-            pred = jnp.argmax(logits, axis=-1)
+            inputs = self._gather(scene_args, ids_b)
+            loss_sum = loss_sum + self._eval_loss_sum(params, inputs,
+                                                      labels_b, mask_b)
+            pred = self._batch_pred(params, inputs, ids_b.shape[0])
             conf = conf + confusion_matrix(pred, labels_b, self.num_classes,
                                            mask_b)
             return (loss_sum, conf), None
@@ -125,14 +135,51 @@ class DualPrograms:
         (loss_sum, conf), _ = jax.lax.scan(body, init, (ids, labels, mask))
         return loss_sum, conf
 
-    def _predict(self, params, ms_img, pan_img, ids):
+    def _eval_loss_sum(self, params, inputs, labels_b, mask_b):
+        logits = self.apply(params, *inputs)
+        per = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels_b.astype(jnp.int32))
+        return (per * mask_b).sum()
+
+    def _predict(self, params, scene_args, ids):
         """(steps, B) anchor ids -> (steps, B) argmax class ids."""
         def body(_, ids_b):
-            ms_b, pan_b = self._gather(ms_img, pan_img, ids_b)
-            logits = self.apply(params, ms_b, pan_b)
-            return None, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            inputs = self._gather(scene_args, ids_b)
+            return None, self._batch_pred(params, inputs, ids_b.shape[0])
         _, preds = jax.lax.scan(body, None, ids)
         return preds
+
+
+class TriPrograms(DualPrograms):
+    """Three-stream programs: (ms, pan, IHS-fused mspan) windows
+    (reference dataset_tri, train/dataset.py:248-282)."""
+
+    def example_inputs(self) -> tuple:
+        ps = self.patch
+        return (jnp.zeros((1, ps, ps, 4), jnp.float32),
+                jnp.zeros((1, 4 * ps, 4 * ps, 1), jnp.float32),
+                jnp.zeros((1, 4 * ps, 4 * ps, 1), jnp.float32))
+
+    def _gather(self, scene_args, ids_b):
+        ids_b = shard_batch(self.mesh, ids_b)
+        parts = gather_tri(scene_args[0], scene_args[1], scene_args[2],
+                           ids_b, self.width, self.patch)
+        return tuple(shard_batch(self.mesh, p) for p in parts)
+
+
+class SinglePrograms(DualPrograms):
+    """Single-modality programs (reference dataset_one,
+    train/dataset.py:133-155): the model sees only the MS window."""
+
+    def example_inputs(self) -> tuple:
+        ps = self.patch
+        return (jnp.zeros((1, ps, ps, 4), jnp.float32),)
+
+    def _gather(self, scene_args, ids_b):
+        ids_b = shard_batch(self.mesh, ids_b)
+        x, y = ids_to_xy(ids_b, self.width)
+        return (shard_batch(self.mesh,
+                            gather_windows(scene_args[0], x, y, self.patch)),)
 
 
 class QuadPrograms(DualPrograms):
@@ -140,75 +187,34 @@ class QuadPrograms(DualPrograms):
 
     The model consumes the 4 streams concatenated along the batch axis
     (reference tostagesolver.py:271: ``torch.concat([d1..d4])``) and the
-    prediction rule sums the MS-stream and PAN-stream logits
-    (tostagesolver.py:337).
+    prediction rule sums the MS-stream and PAN-stream logits before
+    softmax/argmax (tostagesolver.py:337).
     """
 
-    def __init__(self, model, tx, cfg, width, patch, streams,
-                 mesh=None, loss_fn=None):
-        self.streams = streams  # (ms, pan_ms, ms_gan, pan_gan) device arrays
-        super().__init__(model, tx, cfg, width, patch, mesh, loss_fn)
-
-    def init(self, rng: jax.Array):
+    def example_inputs(self) -> tuple:
         ps = self.patch
-        x = jnp.zeros((4, ps, ps, self.streams[0].shape[-1]), jnp.float32)
-        params = self.model.init(rng, x)["params"]
-        return params, self.tx.init(params)
+        return (jnp.zeros((4, ps, ps, 4), jnp.float32),)
 
-    def apply(self, params, x):
-        return self.model.apply({"params": params}, x)
-
-    def _gather4(self, ids_b):
+    def _gather(self, scene_args, ids_b):
         ids_b = shard_batch(self.mesh, ids_b)
-        parts = gather_quad(*self.streams, ids_b, self.width, self.patch)
-        return jnp.concatenate(parts, axis=0)
+        parts = gather_quad(*scene_args, ids_b, self.width, self.patch)
+        return (jnp.concatenate(parts, axis=0),)
 
-    def _train_epoch(self, params, opt_state, ids, labels, mask):
-        # qua_loss is a batch-level KL composite with no per-sample form,
-        # so the solver trims the train set to a batch multiple instead of
-        # masking (documented divergence); ``mask`` is accepted for
-        # interface uniformity.
-        del mask
-        bs = ids.shape[1]
-        def body(carry, batch):
-            params, opt_state = carry
-            ids_b, labels_b = batch
-            x = self._gather4(ids_b)
-            def lf(p):
-                return self.loss_fn(self.apply(p, x), bs, labels_b, self.cfg)
-            loss, grads = jax.value_and_grad(lf)(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (ids, labels))
-        return params, opt_state, losses
+    def _batch_loss(self, params, inputs, labels_b, mask_b):
+        # qua_loss is a batch-level KL composite with no per-sample form;
+        # the solver trims the train set to a batch multiple instead of
+        # masking (documented divergence).
+        bs = labels_b.shape[0]
+        return self.loss_fn(self.apply(params, *inputs), bs, labels_b,
+                            self.cfg)
 
-    def _fused_pred(self, params, ids_b):
-        bs = ids_b.shape[0]
-        logits = self.apply(params, self._gather4(ids_b))
+    def _batch_pred(self, params, inputs, bs):
+        logits = self.apply(params, *inputs)
         fused = jax.nn.softmax(logits[:bs] + logits[bs:2 * bs], axis=-1)
         return jnp.argmax(fused, axis=-1).astype(jnp.int32)
 
-    def _eval_epoch(self, params, ids, labels, mask):
-        bs = ids.shape[1]
-        def body(carry, batch):
-            loss_sum, conf = carry
-            ids_b, labels_b, mask_b = batch
-            x = self._gather4(ids_b)
-            loss = self.loss_fn(self.apply(params, x), bs, labels_b, self.cfg)
-            loss_sum = loss_sum + loss * mask_b.sum()
-            pred = self._fused_pred(params, ids_b)
-            conf = conf + confusion_matrix(pred, labels_b, self.num_classes,
-                                           mask_b)
-            return (loss_sum, conf), None
-        init = (jnp.float32(0.0),
-                jnp.zeros((self.num_classes, self.num_classes), jnp.float32))
-        (loss_sum, conf), _ = jax.lax.scan(body, init, (ids, labels, mask))
-        return loss_sum, conf
-
-    def _predict(self, params, ids):
-        def body(_, ids_b):
-            return None, self._fused_pred(params, ids_b)
-        _, preds = jax.lax.scan(body, None, ids)
-        return preds
+    def _eval_loss_sum(self, params, inputs, labels_b, mask_b):
+        bs = labels_b.shape[0]
+        loss = self.loss_fn(self.apply(params, *inputs), bs, labels_b,
+                            self.cfg)
+        return loss * mask_b.sum()

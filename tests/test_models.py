@@ -95,3 +95,25 @@ def test_registry_covers_reference_names():
                  "swin_transformer", "vision_transformer", "swin_t_dual",
                  "generator", "discriminator"):
         assert want in names
+
+
+def test_tri_net_forward():
+    import jax
+    cfg = tiny_cfg()
+    model = build_model(cfg, "tri_net")
+    ps = cfg["patch_size"]
+    key = jax.random.PRNGKey(0)
+    ms = jax.random.normal(key, (2, ps, ps, 4))
+    pan = jax.random.normal(key, (2, 4 * ps, 4 * ps, 1))
+    mspan = jax.random.normal(key, (2, 4 * ps, 4 * ps, 1))
+    params = model.init(key, ms, pan, mspan)["params"]
+    out = model.apply({"params": params}, ms, pan, mspan)
+    assert out.shape == (2, cfg["Categories_Number"])
+
+
+def test_model_arity_metadata():
+    from dmfusion.models.registry import model_arity
+    assert model_arity("gmfnet") == "dual"
+    assert model_arity("tri_net") == "tri"
+    assert model_arity("dqtl") == "quad"
+    assert model_arity("generator") == "image"

@@ -53,7 +53,7 @@ def test_sharded_train_step_matches_single_device(small_cfg, small_scene):
         prog = DualPrograms(model, tx, cfg, scene.width, scene.patch, m)
         params, opt_state = prog.init(jax.random.PRNGKey(0))
         params, opt_state, loss = prog.train_epoch(
-            params, opt_state, scene.ms, scene.pan, ids, labels, mask)
+            params, opt_state, (scene.ms, scene.pan), ids, labels, mask)
         losses[name] = float(loss[0])
         params_out[name] = jax.tree.map(np.asarray, params)
 
@@ -88,7 +88,7 @@ def test_sharded_inference_covers_scene(small_cfg, small_scene):
     batch = 256
     steps = -(-n // batch)
     ids = jnp.arange(steps * batch, dtype=jnp.int32) % n
-    preds = prog.predict(params, scene.ms, scene.pan,
+    preds = prog.predict(params, (scene.ms, scene.pan),
                          ids.reshape(steps, batch))
     flat = np.asarray(preds).reshape(-1)[:n]
     assert flat.shape == (n,)

@@ -1,0 +1,66 @@
+"""Aux utilities: MI metric, h5 cache, resume-from-checkpoint."""
+
+import numpy as np
+
+from dmfusion.utils import mutual_information, read_h5, save_h5
+from dmfusion.utils.h5cache import save_patches
+
+
+def test_mutual_information_properties(rng):
+    a = rng.standard_normal((64, 64))
+    # MI with itself is high; with independent noise near zero.
+    self_mi = mutual_information(a, a)
+    noise_mi = mutual_information(a, rng.standard_normal((64, 64)))
+    assert self_mi > 1.0
+    assert noise_mi < 0.2
+    assert noise_mi >= -1e-9
+
+
+def test_h5_roundtrip(tmp_path, rng):
+    p = str(tmp_path / "cache.h5")
+    save_h5(p, a=rng.random((3, 4)), b=np.arange(5))
+    back = read_h5(p)
+    assert set(back) == {"a", "b"}
+    np.testing.assert_array_equal(back["b"], np.arange(5))
+
+
+def test_save_patches(tmp_path, small_scene):
+    p = str(tmp_path / "patches.h5")
+    ids = np.array([0, 10, 100], np.int32)
+    save_patches(p, small_scene, ids)
+    back = read_h5(p)
+    ps = small_scene.patch
+    assert back["ms"].shape == (3, ps, ps, 4)
+    assert back["pan"].shape == (3, 4 * ps, 4 * ps, 1)
+    assert back["xy"].shape == (3, 2)
+
+
+def test_resume_from_checkpoint(tmp_path):
+    """train.resume continues from the saved epoch — the capability the
+    reference scaffolds but never wires (basesolver.py:107-119)."""
+    from dmfusion.config import load_config
+    from dmfusion.solvers import build_solver
+    base = {
+        "data_city": "synth64", "patch_size": 8, "model_width": 8,
+        "batchsize": 64, "test_batchsize": 64, "color_batchsize": 64,
+        "epoch": 2, "time": 1, "train_rate": 0.1, "verify_rate": 0.05,
+        "seed": 0, "expo_result": str(tmp_path) + "/",
+        "test": {"index": 0},
+        "precision": {"compute_dtype": "float32", "param_dtype": "float32"},
+    }
+    cfg = load_config(overrides=base, prepare=True)
+    s1 = build_solver(cfg)
+    s1.dataloader()
+    s1.train()
+    assert s1.records["Epoch"] == [0, 1]
+
+    cfg2 = load_config(overrides={
+        **base, "epoch": 4, "train": {"resume": 1}}, prepare=False)
+    # Reuse the same result slot so the checkpoint is found.
+    cfg2.update({k: cfg[k] for k in ("RESULT", "RESULT_excel",
+                                     "RESULT_output", "FILE_NUM")})
+    s2 = build_solver(cfg2)
+    s2.dataloader()
+    s2.train()
+    # Resumed at epoch 2 (after the saved epoch 1), ran 2 and 3.
+    assert s2.records["Epoch"] == [2, 3]
