@@ -128,22 +128,32 @@ def main() -> None:
     params, _ = prog.init(jax.random.PRNGKey(0))
 
     n = scene.num_pixels
-    ids_all = np.arange(BENCH_BATCH * (BENCH_STEPS + WARMUP_STEPS),
-                        dtype=np.int32) % n
-    chunks = jnp.asarray(ids_all).reshape(-1, BENCH_BATCH)
+    rng = np.random.default_rng(0)
 
-    # Warmup (compile) on a few batches.
-    warm = prog.predict(params, scene.ms, scene.pan, chunks[:WARMUP_STEPS])
-    jax.block_until_ready(warm)
+    # Timed program returns a scalar so timing forces the device round
+    # trip — on tunneled backends block_until_ready can return early, so
+    # only host materialization is a trustworthy fence.
+    run = jax.jit(lambda p, s0, s1, ids: prog._predict(
+        p, (s0, s1), ids).sum())
 
-    t0 = time.perf_counter()
-    preds = prog.predict(params, scene.ms, scene.pan,
-                         chunks[WARMUP_STEPS:])
-    jax.block_until_ready(preds)
-    dt = time.perf_counter() - t0
+    def fresh_ids():
+        ids = rng.integers(0, n, (BENCH_STEPS, BENCH_BATCH))
+        out = jnp.asarray(ids, jnp.int32)
+        int(out.sum())  # materialize input before the timer starts
+        return out
+
+    float(run(params, scene.ms, scene.pan, fresh_ids()))  # compile + warm
+    times = []
+    for _ in range(3):
+        ids = fresh_ids()
+        t0 = time.perf_counter()
+        float(run(params, scene.ms, scene.pan, ids))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     throughput = (BENCH_STEPS * BENCH_BATCH) / dt
     print(f"# dmfusion: {throughput:.1f} patches/s on "
-          f"{jax.devices()[0].platform} ({dt:.2f}s measured, "
+          f"{jax.devices()[0].platform} "
+          f"(times {[f'{t * 1e3:.0f}ms' for t in times]}, "
           f"total bench {time.time() - t_start:.0f}s)", file=sys.stderr)
 
     print(json.dumps({

@@ -20,4 +20,21 @@ Design tenets (see ARCHITECTURE.md):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: first-compile latency (especially via
+# remote-TPU tunnels) dominates short runs; subsequent processes reuse
+# compiled executables.  Override location with DMFUSION_XLA_CACHE, or
+# set it empty to disable.
+_cache_dir = _os.environ.get("DMFUSION_XLA_CACHE",
+                             _os.path.expanduser("~/.cache/dmfusion_xla"))
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from dmfusion.config import load_config, render_config  # noqa: F401

@@ -1,0 +1,165 @@
+"""Pallas TPU kernel: batched patch-window gather via aligned HBM DMA.
+
+XLA lowers ``vmap(dynamic_slice)`` to a serial gather that reaches ~1% of
+HBM bandwidth on TPU (measured: 373 ms for 98k dual patches — 72% of
+full-scene inference time).  This path streams the windows instead.
+
+Mosaic constraint: HBM/VMEM refs carry an (8, 128) tile layout, so both
+DMA slices *and* vector loads must start on 8-row / 128-lane boundaries —
+while patch anchors are arbitrary pixels.  Strategy:
+
+  1. (Pallas) per patch, DMA the smallest tile-*aligned* block covering
+     the window — ``rows 8*(x//8) .. +ps+8``, ``lanes
+     128*((y*C)//128) .. +ps*C+128`` — straight into the pipelined VMEM
+     output block.  Pure data movement at DMA-engine bandwidth.
+  2. (XLA) slice the exact (ps, ps*C) window out of each block with two
+     batched one-hot selection matmuls (row pick then lane pick) built
+     from ``iota`` comparisons.  The MXU has no alignment constraints;
+     ~2 GFLOP per 4096-patch batch, noise next to the model.
+
+The scene is viewed 2-D as (H, W*C) so a patch row is one contiguous
+``ps*C`` lane segment; the wrapper pre-pads the scene so aligned blocks
+stay in bounds and reshapes outputs to NHWC.
+
+Measured end to end (v5e, image6 geometry, 98k dual patches/call):
+373 ms (XLA gather) -> ~9 ms (this path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROW_ALIGN = 8
+_LANE_ALIGN = 128
+
+
+def _extents(patch: int, chans: int) -> tuple[int, int]:
+    rows = patch + _ROW_ALIGN
+    win = patch * chans
+    lanes = -(-(win + _LANE_ALIGN) // _LANE_ALIGN) * _LANE_ALIGN
+    return rows, lanes
+
+
+def _block_copy_kernel(patch: int, chans: int, group: int,
+                       xs_ref, ys_ref, scene_ref, out_ref, sems):
+    """DMA ``group`` aligned blocks from the HBM scene into the VMEM
+    output block: out[k] = scene[r0_k : r0_k+rows, c0_k : c0_k+lanes]."""
+    i = pl.program_id(0)
+    rows, lanes = _extents(patch, chans)
+
+    def dma(k):
+        x = xs_ref[i * group + k]
+        yc = ys_ref[i * group + k] * chans
+        r0 = pl.multiple_of((x // _ROW_ALIGN) * _ROW_ALIGN, _ROW_ALIGN)
+        c0 = pl.multiple_of((yc // _LANE_ALIGN) * _LANE_ALIGN, _LANE_ALIGN)
+        return pltpu.make_async_copy(
+            scene_ref.at[pl.ds(r0, rows), pl.ds(c0, lanes)],
+            out_ref.at[k],
+            sems.at[k],
+        )
+
+    def start(k, _):
+        dma(k).start()
+        return 0
+
+    jax.lax.fori_loop(0, group, start, 0, unroll=True)
+
+    def wait(k, _):
+        dma(k).wait()
+        return 0
+
+    jax.lax.fori_loop(0, group, wait, 0, unroll=True)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("patch", "width", "group", "interpret"))
+def gather_windows_pallas(scene2d: jnp.ndarray, xs: jnp.ndarray,
+                          ys: jnp.ndarray, patch: int, width: int,
+                          group: int = 64,
+                          interpret: bool = False) -> jnp.ndarray:
+    """(H, W*C) scene view + (B,) x/y pixel anchors -> (B, patch, patch*C).
+
+    ``width`` is the scene's pixel width (so ``chans = shape[1]//width``).
+    B must be a multiple of ``group``.
+    """
+    b = xs.shape[0]
+    assert b % group == 0, (b, group)
+    chans = scene2d.shape[1] // width
+    rows, lanes = _extents(patch, chans)
+    win = patch * chans
+    # Pad so every aligned block is in bounds (loop-invariant; XLA hoists
+    # it out of the caller's scan).
+    scene2d = jnp.pad(scene2d, ((0, rows), (0, lanes)))
+
+    blocks = pl.pallas_call(
+        functools.partial(_block_copy_kernel, patch, chans, group),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # xs, ys
+            grid=(b // group,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # scene in HBM
+            out_specs=pl.BlockSpec(
+                (group, rows, lanes),
+                lambda i, xs_ref, ys_ref: (i, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((group,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, rows, lanes), scene2d.dtype),
+        interpret=interpret,
+    )(xs, ys, scene2d)
+
+    # Exact-window extraction as one-hot selection matmuls (MXU).
+    dr = (xs % _ROW_ALIGN).astype(jnp.int32)
+    dc = ((ys * chans) % _LANE_ALIGN).astype(jnp.int32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, patch, rows), 2)
+    row_tgt = dr[:, None, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (b, patch, rows), 1)
+    rsel = (row_ids == row_tgt).astype(blocks.dtype)        # (b, patch, rows)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (b, lanes, win), 1)
+    lane_tgt = dc[:, None, None] + jax.lax.broadcasted_iota(
+        jnp.int32, (b, lanes, win), 2)
+    csel = (lane_ids == lane_tgt).astype(blocks.dtype)      # (b, lanes, win)
+
+    # HIGHEST precision: the default TPU matmul truncates inputs to bf16,
+    # which would round the gathered pixel values; multi-pass f32 keeps
+    # the one-hot selection numerically exact to f32 resolution.
+    picked = jax.lax.dot_general(
+        rsel, blocks, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                 # (b, patch, lanes)
+    out = jax.lax.dot_general(
+        picked, csel, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)                 # (b, patch, win)
+    return out.astype(scene2d.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "patch", "interpret"))
+def gather_dual_fast(ms: jnp.ndarray, pan: jnp.ndarray, ids: jnp.ndarray,
+                     width: int, patch: int,
+                     interpret: bool = False
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in accelerated version of
+    :func:`dmfusion.data.patches.gather_dual` (same contract).
+
+    ``ids`` length must be a multiple of 64; use gather_dual otherwise.
+    """
+    x = ids // width
+    y = ids % width
+    c = ms.shape[-1]
+    ms2d = ms.reshape(ms.shape[0], -1)
+    pan3 = pan if pan.ndim == 3 else pan[..., None]
+    pc = pan3.shape[-1]
+    pan2d = pan3.reshape(pan3.shape[0], -1)
+
+    ms_p = gather_windows_pallas(ms2d, x, y, patch, ms.shape[1],
+                                 interpret=interpret)
+    ms_p = ms_p.reshape(ids.shape[0], patch, patch, c)
+    pan_p = gather_windows_pallas(pan2d, 4 * x, 4 * y, 4 * patch,
+                                  pan3.shape[1], interpret=interpret)
+    pan_p = pan_p.reshape(ids.shape[0], 4 * patch, 4 * patch, pc)
+    return ms_p, pan_p

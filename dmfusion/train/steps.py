@@ -32,6 +32,13 @@ from dmfusion.parallel.mesh import shard_batch
 from dmfusion.train.losses import cross_entropy
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 class DualPrograms:
     """Compiled epoch programs for a dual-branch (ms, pan) classifier.
 
@@ -52,6 +59,11 @@ class DualPrograms:
         self.mesh = mesh
         self.num_classes = cfg["Categories_Number"]
         self.loss_fn = loss_fn or cross_entropy
+        # Pallas DMA gather: ~7x the XLA gather on TPU (ops/pallas_gather);
+        # single-chip only for now — the sharded path keeps the XLA gather
+        # so the SPMD partitioner can split it.
+        self.fast_gather = (_on_tpu() and mesh is None
+                            and not cfg.get("disable_fast_gather"))
 
         self.train_epoch = jax.jit(self._train_epoch, donate_argnums=(0, 1))
         self.eval_epoch = jax.jit(self._eval_epoch)
@@ -66,8 +78,13 @@ class DualPrograms:
 
     def _gather(self, scene_args: tuple, ids_b: jnp.ndarray) -> tuple:
         ids_b = shard_batch(self.mesh, ids_b)
-        ms_b, pan_b = gather_dual(scene_args[0], scene_args[1], ids_b,
-                                  self.width, self.patch)
+        if self.fast_gather and ids_b.shape[0] % 64 == 0:
+            from dmfusion.ops.pallas_gather import gather_dual_fast
+            ms_b, pan_b = gather_dual_fast(scene_args[0], scene_args[1],
+                                           ids_b, self.width, self.patch)
+        else:
+            ms_b, pan_b = gather_dual(scene_args[0], scene_args[1], ids_b,
+                                      self.width, self.patch)
         return shard_batch(self.mesh, ms_b), shard_batch(self.mesh, pan_b)
 
     def init(self, rng: jax.Array):

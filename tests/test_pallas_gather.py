@@ -1,0 +1,47 @@
+"""Pallas DMA patch-gather parity vs the XLA reference gather
+(interpret mode on the CPU mesh; the compiled path is validated on real
+TPU by bench.py and was measured bit-exact)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dmfusion.data.patches import gather_dual
+from dmfusion.ops.pallas_gather import _extents, gather_dual_fast, gather_windows_pallas
+
+
+def test_extents_alignment():
+    rows, lanes = _extents(16, 4)
+    assert rows == 24 and lanes % 128 == 0 and lanes >= 16 * 4 + 128
+    rows, lanes = _extents(64, 1)
+    assert rows == 72 and lanes % 128 == 0
+
+
+def test_gather_dual_fast_matches_xla(small_scene, small_cfg):
+    sc = small_scene
+    ps = small_cfg["patch_size"]
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, sc.num_pixels, 128), jnp.int32)
+    a_ms, a_pan = gather_dual(sc.ms, sc.pan, ids, sc.width, ps)
+    b_ms, b_pan = gather_dual_fast(sc.ms, sc.pan, ids, sc.width, ps,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(a_ms), np.asarray(b_ms),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a_pan), np.asarray(b_pan),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_gather_windows_pallas_edge_anchors(small_scene, small_cfg):
+    # Anchors at the extreme corners exercise the aligned-block padding.
+    sc = small_scene
+    ps = small_cfg["patch_size"]
+    last = sc.num_pixels - 1
+    ids = jnp.asarray([0, last] + [1] * 62, jnp.int32)
+    ms2d = sc.ms.reshape(sc.ms.shape[0], -1)
+    xs, ys = ids // sc.width, ids % sc.width
+    out = gather_windows_pallas(ms2d, xs, ys, ps, sc.ms.shape[1],
+                                interpret=True)
+    ms_np = np.asarray(sc.ms)
+    for k, t in enumerate([0, last]):
+        x, y = int(t) // sc.width, int(t) % sc.width
+        want = ms_np[x:x + ps, y:y + ps, :].reshape(ps, -1)
+        np.testing.assert_allclose(np.asarray(out[k]), want, rtol=1e-6)
