@@ -59,6 +59,19 @@ def main(argv: list[str] | None = None) -> None:
     from dmfusion.config import load_config
     cfg = load_config(args.config, overrides=overrides, prepare=True)
 
+    # Honor the device knob (reference cfg['device'], config.yml:29): an
+    # explicit 'cpu' forces the host platform (useful for debugging even
+    # when a TPU plugin pinned the default platform at interpreter
+    # start); anything else keeps the environment's accelerator default —
+    # TPU plugins register under varying platform names, so forcing 'tpu'
+    # would break tunneled/plugin setups.
+    if str(cfg.get("device", "")).lower() == "cpu":
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized
+
     from dmfusion.solvers import build_solver
     solver = build_solver(cfg)
     solver.run()

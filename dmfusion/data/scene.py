@@ -174,8 +174,11 @@ def synthetic_scene(cfg: Mapping[str, Any], seed: int | None = None) -> Scene:
     ps = cfg["patch_size"]
     rng = np.random.default_rng(cfg["seed"] if seed is None else seed)
 
-    # Low-frequency fields -> argmax gives contiguous class regions.
-    gh, gw = max(h // 32, 2), max(w // 32, 2)
+    # Low-frequency fields -> argmax gives contiguous class regions.  The
+    # grid is at least 8x8 so every class has a fighting chance to appear
+    # even on tiny test scenes (a 2x2 grid leaves classes absent and lets
+    # a classifier collapse to the majority class).
+    gh, gw = max(h // 32, 8), max(w // 32, 8)
     fields = rng.standard_normal((ncls - 1, gh, gw)).astype(np.float32)
     reps = (-(-h // gh), -(-w // gw))
     up = np.repeat(np.repeat(fields, reps[0], axis=1), reps[1], axis=2)[:, :h, :w]

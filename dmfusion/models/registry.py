@@ -42,7 +42,13 @@ def get_model_class(name: str):
     except ImportError:
         # Fall back to a user-provided top-level module, mirroring the
         # reference's `model.<name>` convention.
-        mod = importlib.import_module(f"model.{module_name}")
+        try:
+            mod = importlib.import_module(f"model.{module_name}")
+        except ImportError:
+            raise ValueError(
+                f"unknown model {name!r}: no dmfusion.models.{module_name} "
+                f"or model.{module_name} module found; available: "
+                f"{available_models()}") from None
     return mod.Net
 
 

@@ -128,7 +128,10 @@ class Solver(BaseSolver):
                 if val_loss < best_loss:
                     best_loss = val_loss
                     best_epoch = self.epoch
-                    self.best_params = jax.tree.map(lambda x: x, self.params)
+                    # Real device copy: train_epoch donates its param
+                    # buffers, so an aliasing snapshot would be deleted by
+                    # the next epoch's update.
+                    self.best_params = jax.tree.map(jnp.array, self.params)
                     save_checkpoint(self.best_weights_path(), self.best_params)
             save_checkpoint(self.cur_weights_path(),
                             {"params": self.params,

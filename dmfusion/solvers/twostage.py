@@ -214,7 +214,9 @@ class TwoStageSolver(Solver):
                 val_loss = float(loss_sum)
                 if val_loss < best_loss:
                     best_loss = val_loss
-                    self.best_params = jax.tree.map(lambda x: x, self.params)
+                    # Real device copy — train_epoch donates param buffers
+                    # (see solvers/main.py).
+                    self.best_params = jax.tree.map(jnp.array, self.params)
                     save_checkpoint(self.best_weights_path(),
                                     self.best_params)
             save_checkpoint(self.cur_weights_path(),

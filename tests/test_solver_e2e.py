@@ -23,7 +23,7 @@ def run_cfg(tmp_path_factory):
         "batchsize": 64,
         "test_batchsize": 64,
         "color_batchsize": 64,
-        "epoch": 3,
+        "epoch": 5,
         "time": 1,
         "train_rate": 0.1,
         "verify_rate": 0.05,
@@ -45,7 +45,7 @@ def finished_solver(run_cfg):
 
 def test_training_learns(finished_solver):
     losses = finished_solver.records["Loss"]
-    assert len(losses) == 3
+    assert len(losses) == 5
     assert losses[-1] < losses[0]  # synthetic classes are learnable
 
 
@@ -61,7 +61,7 @@ def test_confusion_matrix_and_report(finished_solver, run_cfg):
     assert wb.active.cell(6, 2) == "OA"
     aa, oa, kappa, rows = finished_solver.last_result
     assert 0 <= oa <= 1 and len(rows) == ncls - 1
-    # 3 epochs on an easy synthetic scene should beat chance comfortably.
+    # A few epochs on the synthetic scene should beat chance comfortably.
     assert oa > 1.5 / (ncls - 1)
 
 
