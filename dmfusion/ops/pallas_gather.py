@@ -139,6 +139,45 @@ def gather_windows_pallas(scene2d: jnp.ndarray, xs: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "patch", "interpret"))
+def gather_one_fast(img: jnp.ndarray, ids: jnp.ndarray, width: int,
+                    patch: int, interpret: bool = False) -> jnp.ndarray:
+    """Accelerated single-image window gather: (B,) ids ->
+    (B, patch, patch, C).  B must be a multiple of 64."""
+    x = ids // width
+    y = ids % width
+    img3 = img if img.ndim == 3 else img[..., None]
+    c = img3.shape[-1]
+    out = gather_windows_pallas(img3.reshape(img3.shape[0], -1), x, y,
+                                patch, img3.shape[1], interpret=interpret)
+    return out.reshape(ids.shape[0], patch, patch, c)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "patch", "interpret"))
+def gather_quad_fast(ms, pan_ms, ms_gan, pan_gan, ids, width: int,
+                     patch: int, interpret: bool = False):
+    """Accelerated 4-stream MS-geometry gather (dataset_qua_dqtl role)."""
+    return tuple(gather_one_fast(img, ids, width, patch, interpret)
+                 for img in (ms, pan_ms, ms_gan, pan_gan))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "patch", "interpret"))
+def gather_tri_fast(ms, pan, mspan, ids, width: int, patch: int,
+                    interpret: bool = False):
+    """Accelerated 3-stream gather (dataset_tri role): MS window + PAN +
+    MSPAN windows at 4x geometry."""
+    ms_p, pan_p = gather_dual_fast(ms, pan, ids, width, patch, interpret)
+    x = ids // width
+    y = ids % width
+    mspan3 = mspan if mspan.ndim == 3 else mspan[..., None]
+    mspan_p = gather_windows_pallas(
+        mspan3.reshape(mspan3.shape[0], -1), 4 * x, 4 * y, 4 * patch,
+        mspan3.shape[1], interpret=interpret)
+    mspan_p = mspan_p.reshape(ids.shape[0], 4 * patch, 4 * patch,
+                              mspan3.shape[-1])
+    return ms_p, pan_p, mspan_p
+
+
+@functools.partial(jax.jit, static_argnames=("width", "patch", "interpret"))
 def gather_dual_fast(ms: jnp.ndarray, pan: jnp.ndarray, ids: jnp.ndarray,
                      width: int, patch: int,
                      interpret: bool = False

@@ -171,6 +171,26 @@ class BaseSolver:
                 self.color()
             self.time += 1
 
+    # -- profiling ---------------------------------------------------------
+    def profile_start(self, tag: str) -> None:
+        """Begin a jax.profiler trace when ``profile.enabled`` is set —
+        the TPU-native upgrade of the reference's wall-clock-only
+        instrumentation (mainsolver.py:41,86-87)."""
+        prof = self.cfg.get("profile", {})
+        if prof.get("enabled"):
+            import jax
+            trace_dir = os.path.join(prof.get("dir", "profile/"),
+                                     f"{tag}_{self.time}")
+            os.makedirs(trace_dir, exist_ok=True)
+            jax.profiler.start_trace(trace_dir)
+            self._tracing = True
+
+    def profile_stop(self) -> None:
+        if getattr(self, "_tracing", False):
+            import jax
+            jax.profiler.stop_trace()
+            self._tracing = False
+
     @staticmethod
     def now() -> float:
         return time.time()

@@ -95,6 +95,7 @@ class Solver(BaseSolver):
     def train(self) -> None:
         cfg = self.cfg
         t0 = self.now()
+        self.profile_start("train")
         if not cfg["train"]["pretrained"] or self.programs is None:
             self.init_model()
         best_loss = float("inf")
@@ -147,6 +148,7 @@ class Solver(BaseSolver):
                     msg += f" val {val_loss:.4f} (best ep {best_epoch})"
                 print(msg)
             self.epoch += 1
+        self.profile_stop()
         self.train_time = self.now() - t0
         self.epoch = 0
 

@@ -179,8 +179,14 @@ class TriPrograms(DualPrograms):
 
     def _gather(self, scene_args, ids_b):
         ids_b = shard_batch(self.mesh, ids_b)
-        parts = gather_tri(scene_args[0], scene_args[1], scene_args[2],
-                           ids_b, self.width, self.patch)
+        if self.fast_gather and ids_b.shape[0] % 64 == 0:
+            from dmfusion.ops.pallas_gather import gather_tri_fast
+            parts = gather_tri_fast(scene_args[0], scene_args[1],
+                                    scene_args[2], ids_b, self.width,
+                                    self.patch)
+        else:
+            parts = gather_tri(scene_args[0], scene_args[1], scene_args[2],
+                               ids_b, self.width, self.patch)
         return tuple(shard_batch(self.mesh, p) for p in parts)
 
 
@@ -194,9 +200,14 @@ class SinglePrograms(DualPrograms):
 
     def _gather(self, scene_args, ids_b):
         ids_b = shard_batch(self.mesh, ids_b)
-        x, y = ids_to_xy(ids_b, self.width)
-        return (shard_batch(self.mesh,
-                            gather_windows(scene_args[0], x, y, self.patch)),)
+        if self.fast_gather and ids_b.shape[0] % 64 == 0:
+            from dmfusion.ops.pallas_gather import gather_one_fast
+            out = gather_one_fast(scene_args[0], ids_b, self.width,
+                                  self.patch)
+        else:
+            x, y = ids_to_xy(ids_b, self.width)
+            out = gather_windows(scene_args[0], x, y, self.patch)
+        return (shard_batch(self.mesh, out),)
 
 
 class QuadPrograms(DualPrograms):
@@ -214,7 +225,12 @@ class QuadPrograms(DualPrograms):
 
     def _gather(self, scene_args, ids_b):
         ids_b = shard_batch(self.mesh, ids_b)
-        parts = gather_quad(*scene_args, ids_b, self.width, self.patch)
+        if self.fast_gather and ids_b.shape[0] % 64 == 0:
+            from dmfusion.ops.pallas_gather import gather_quad_fast
+            parts = gather_quad_fast(*scene_args, ids_b, self.width,
+                                     self.patch)
+        else:
+            parts = gather_quad(*scene_args, ids_b, self.width, self.patch)
         return (jnp.concatenate(parts, axis=0),)
 
     def _batch_loss(self, params, inputs, labels_b, mask_b):
