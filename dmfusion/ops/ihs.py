@@ -41,18 +41,20 @@ def pan2ms(pan: jnp.ndarray, size: tuple[int, int, int]) -> jnp.ndarray:
 
 def unpooling(img: jnp.ndarray, t: int, key: jax.Array) -> jnp.ndarray:
     """(H, W, C) -> (H*t, W*t, C); each value lands at a seeded-random
-    offset inside its t x t block, the rest is zero (IHS.py:22-29)."""
+    offset inside its t x t block, the rest is zero (IHS.py:22-29).
+
+    One scatter per output (no t*t one-hot blowup — matters at full-scene
+    size where t=4 would cost 16x the scene in transient memory).
+    """
     h, w, c = img.shape
     km, kn = jax.random.split(key)
     m = jax.random.randint(km, (h, w, c), 0, t)
     n = jax.random.randint(kn, (h, w, c), 0, t)
-    # Build the t*t one-hot placement per source pixel, then reassemble.
-    offset = m * t + n                                     # (h, w, c)
-    hot = jax.nn.one_hot(offset, t * t, dtype=img.dtype)   # (h, w, c, t*t)
-    blocks = img[..., None] * hot
-    blocks = blocks.reshape(h, w, c, t, t)
-    out = blocks.transpose(0, 3, 1, 4, 2).reshape(h * t, w * t, c)
-    return out
+    rows = jnp.arange(h)[:, None, None] * t + m            # (h, w, c)
+    cols = jnp.arange(w)[None, :, None] * t + n
+    chan = jnp.broadcast_to(jnp.arange(c)[None, None, :], (h, w, c))
+    out = jnp.zeros((h * t, w * t, c), img.dtype)
+    return out.at[rows, cols, chan].set(img)
 
 
 def replicate_channels(img: jnp.ndarray, n: int) -> jnp.ndarray:
