@@ -42,6 +42,41 @@ def render_tensor(img: np.ndarray, equalize: bool = True) -> np.ndarray:
     return equalize_histogram(scaled) if equalize else scaled
 
 
+def discover_palette(label: np.ndarray, gt_image: np.ndarray,
+                     num_classes: int) -> list[list[int]]:
+    """Recover the class palette from a ground-truth rendering.
+
+    Working version of the reference's ``colorlist`` scratch tool
+    (function/function.py:20-31): for each class id, return the first
+    non-black GT pixel color at that class's locations ([0,0,0] if the
+    class never appears or is always black).
+    """
+    label = np.asarray(label)
+    gt = np.asarray(gt_image)
+    palette = []
+    for cls in range(num_classes):
+        xs, ys = np.nonzero(label == cls)
+        color = [0, 0, 0]
+        for x, y in zip(xs, ys):
+            px = gt[x, y]
+            if int(np.sum(px)) != 0:
+                color = [int(v) for v in px[:3]]
+                break
+        palette.append(color)
+    return palette
+
+
+def read_tfw(path: str) -> dict:
+    """Parse a TIFF world file (reference ``read_tfw``,
+    function/function.py:92-96 just prints it; here the six affine
+    parameters are returned)."""
+    with open(path) as f:
+        vals = [float(line.strip()) for line in f if line.strip()]
+    keys = ["pixel_size_x", "rot_y", "rot_x", "pixel_size_y",
+            "upper_left_x", "upper_left_y"]
+    return dict(zip(keys, vals))
+
+
 def scene_to_tiles(img: np.ndarray, tile: int) -> tuple[np.ndarray, int, int]:
     """(H, W, C) -> (n_tiles, tile, tile, C) with reflect-101 padding to a
     tile multiple; returns (tiles, rows, cols).  Replaces the double

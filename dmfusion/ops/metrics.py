@@ -70,6 +70,13 @@ def aa_oa(matrix: jnp.ndarray | np.ndarray) -> list:
     return [aa, oa, kappa(m), rows]
 
 
+def per_stream_results(matrices: list[np.ndarray]) -> list[list]:
+    """OA/AA/kappa per stream — the capability behind the reference's
+    ``indicator_SCLN`` (indicators/kappa.py:211-213): evaluate each of
+    the 4 DQTL streams' confusion matrices independently."""
+    return [aa_oa(m) for m in matrices]
+
+
 @jax.jit
 def render_class_map(labels: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
     """(H, W) class ids + (C, 3) palette -> (H, W, 3) uint8 image.

@@ -120,3 +120,23 @@ def test_synthetic_scene_shapes(small_cfg):
     # Deterministic under the same seed.
     sc2 = synthetic_scene(small_cfg)
     np.testing.assert_array_equal(sc.label, sc2.label)
+
+
+def test_discover_palette():
+    from dmfusion.ops.image import discover_palette
+    label = np.array([[0, 1], [2, 1]])
+    gt = np.zeros((2, 2, 3), np.uint8)
+    gt[0, 1] = [255, 0, 0]
+    gt[1, 1] = [255, 0, 0]
+    gt[1, 0] = [0, 255, 0]
+    pal = discover_palette(label, gt, 3)
+    assert pal == [[0, 0, 0], [255, 0, 0], [0, 255, 0]]
+
+
+def test_read_tfw(tmp_path):
+    from dmfusion.ops.image import read_tfw
+    p = tmp_path / "scene.tfw"
+    p.write_text("0.5\n0.0\n0.0\n-0.5\n1000.25\n2000.75\n")
+    tfw = read_tfw(str(p))
+    assert tfw["pixel_size_x"] == 0.5
+    assert tfw["upper_left_y"] == 2000.75
