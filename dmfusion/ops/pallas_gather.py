@@ -177,15 +177,17 @@ def gather_tri_fast(ms, pan, mspan, ids, width: int, patch: int,
     return ms_p, pan_p, mspan_p
 
 
-@functools.partial(jax.jit, static_argnames=("width", "patch", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("width", "patch", "group", "interpret"))
 def gather_dual_fast(ms: jnp.ndarray, pan: jnp.ndarray, ids: jnp.ndarray,
-                     width: int, patch: int,
+                     width: int, patch: int, group: int = 64,
                      interpret: bool = False
                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in accelerated version of
     :func:`dmfusion.data.patches.gather_dual` (same contract).
 
-    ``ids`` length must be a multiple of 64; use gather_dual otherwise.
+    ``ids`` length must be a multiple of ``group``; use gather_dual
+    otherwise.
     """
     x = ids // width
     y = ids % width
@@ -196,9 +198,45 @@ def gather_dual_fast(ms: jnp.ndarray, pan: jnp.ndarray, ids: jnp.ndarray,
     pan2d = pan3.reshape(pan3.shape[0], -1)
 
     ms_p = gather_windows_pallas(ms2d, x, y, patch, ms.shape[1],
-                                 interpret=interpret)
+                                 group=group, interpret=interpret)
     ms_p = ms_p.reshape(ids.shape[0], patch, patch, c)
     pan_p = gather_windows_pallas(pan2d, 4 * x, 4 * y, 4 * patch,
-                                  pan3.shape[1], interpret=interpret)
+                                  pan3.shape[1], group=group,
+                                  interpret=interpret)
     pan_p = pan_p.reshape(ids.shape[0], 4 * patch, 4 * patch, pc)
     return ms_p, pan_p
+
+
+def _pick_group(per_shard: int) -> int:
+    group = 64
+    while group > 1 and per_shard % group:
+        group //= 2
+    return group
+
+
+def gather_dual_sharded(ms, pan, ids, width: int, patch: int, mesh,
+                        interpret: bool = False):
+    """SPMD version: anchors shard over the mesh 'data' axis, the scene
+    replicates, and each device runs the Pallas DMA gather on its local
+    shard — the multi-chip full-scene inference path (the scene-pixel
+    axis is this workload's "sequence" dimension; SURVEY.md §2.3)."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map as _shard_map
+        shard_map = functools.partial(_shard_map, check_vma=False)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _shard_map
+        shard_map = functools.partial(_shard_map, check_rep=False)
+
+    data = mesh.shape["data"]
+    per_shard = ids.shape[0] // data
+    group = _pick_group(per_shard)
+
+    def local(ms_l, pan_l, ids_l):
+        return gather_dual_fast(ms_l, pan_l, ids_l, width, patch,
+                                group=group, interpret=interpret)
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P("data")),
+                   out_specs=(P("data"), P("data")))
+    return fn(ms, pan, ids)

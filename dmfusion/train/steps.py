@@ -59,11 +59,10 @@ class DualPrograms:
         self.mesh = mesh
         self.num_classes = cfg["Categories_Number"]
         self.loss_fn = loss_fn or cross_entropy
-        # Pallas DMA gather: ~7x the XLA gather on TPU (ops/pallas_gather);
-        # single-chip only for now — the sharded path keeps the XLA gather
-        # so the SPMD partitioner can split it.
-        self.fast_gather = (_on_tpu() and mesh is None
-                            and not cfg.get("disable_fast_gather"))
+        # Pallas DMA gather: ~7x the XLA gather on TPU (ops/pallas_gather).
+        # With a mesh, the shard_map-wrapped variant runs per-device on the
+        # local anchor shard.
+        self.fast_gather = _on_tpu() and not cfg.get("disable_fast_gather")
 
         self.train_epoch = jax.jit(self._train_epoch, donate_argnums=(0, 1))
         self.eval_epoch = jax.jit(self._eval_epoch)
@@ -78,10 +77,17 @@ class DualPrograms:
 
     def _gather(self, scene_args: tuple, ids_b: jnp.ndarray) -> tuple:
         ids_b = shard_batch(self.mesh, ids_b)
-        if self.fast_gather and ids_b.shape[0] % 64 == 0:
+        b = ids_b.shape[0]
+        if self.fast_gather and self.mesh is None and b % 64 == 0:
             from dmfusion.ops.pallas_gather import gather_dual_fast
             ms_b, pan_b = gather_dual_fast(scene_args[0], scene_args[1],
                                            ids_b, self.width, self.patch)
+        elif (self.fast_gather and self.mesh is not None
+              and b % self.mesh.shape["data"] == 0):
+            from dmfusion.ops.pallas_gather import gather_dual_sharded
+            ms_b, pan_b = gather_dual_sharded(scene_args[0], scene_args[1],
+                                              ids_b, self.width, self.patch,
+                                              self.mesh)
         else:
             ms_b, pan_b = gather_dual(scene_args[0], scene_args[1], ids_b,
                                       self.width, self.patch)

@@ -45,3 +45,23 @@ def test_gather_windows_pallas_edge_anchors(small_scene, small_cfg):
         x, y = int(t) // sc.width, int(t) % sc.width
         want = ms_np[x:x + ps, y:y + ps, :].reshape(ps, -1)
         np.testing.assert_allclose(np.asarray(out[k]), want, rtol=1e-6)
+
+
+def test_gather_dual_sharded_on_mesh(small_scene, small_cfg):
+    """Pallas gather under shard_map on the 8-device CPU mesh: anchors
+    shard over 'data', results match the XLA gather."""
+    from dmfusion.ops.pallas_gather import gather_dual_sharded
+    from dmfusion.parallel.mesh import get_mesh
+    sc = small_scene
+    ps = small_cfg["patch_size"]
+    mesh = get_mesh(None)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, sc.num_pixels, 128), jnp.int32)
+    a_ms, a_pan = gather_dual(sc.ms, sc.pan, ids, sc.width, ps)
+    b_ms, b_pan = gather_dual_sharded(sc.ms, sc.pan, ids, sc.width, ps,
+                                      mesh, interpret=True)
+    assert len(b_ms.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(a_ms), np.asarray(b_ms),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a_pan), np.asarray(b_pan),
+                               rtol=1e-6, atol=1e-7)
