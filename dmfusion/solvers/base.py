@@ -171,6 +171,17 @@ class BaseSolver:
                 self.color()
             self.time += 1
 
+    def save_records(self) -> None:
+        """Persist per-epoch training records as JSON next to the
+        checkpoints (the reference carries a ``records`` dict it never
+        writes, basesolver.py:61,115-119)."""
+        import json
+        os.makedirs(self.cfg["RESULT_output"], exist_ok=True)
+        path = os.path.join(self.cfg["RESULT_output"],
+                            f"{self.time}_records.json")
+        with open(path, "w") as f:
+            json.dump(self.records, f)
+
     # -- profiling ---------------------------------------------------------
     def profile_start(self, tag: str) -> None:
         """Begin a jax.profiler trace when ``profile.enabled`` is set —

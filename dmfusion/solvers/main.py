@@ -151,6 +151,7 @@ class Solver(BaseSolver):
         self.profile_stop()
         self.train_time = self.now() - t0
         self.epoch = 0
+        self.save_records()
 
     def _load_eval_params(self):
         cfg = self.cfg
