@@ -1,0 +1,117 @@
+"""dense_fusion — whole-scene dense per-pixel fusion classifier.
+
+The TPU-native flagship beyond the reference's design space: the
+reference (and the parity models here) classify each pixel by cropping a
+16x16/64x64 window and running a CNN per window — for full-scene maps
+that is ~4.2M nearly-identical forwards (~800 TFLOP for image6).  This
+model instead computes ONE dense feature map over the whole HBM-resident
+scene (stride-1 convs at MS resolution, PAN folded down 4x), mean-pools
+it over every ps x ps anchor window in a single VALID ``reduce_window``,
+and applies a 1x1 head — every pixel's logits in one pass (~0.2 TFLOP,
+a ~4000x FLOP reduction for full-scene inference).
+
+Training uses the same dense program: features over the scene (gradient
+checkpointed), pooled-feature rows gathered at the train anchors, head +
+CE.  Train/eval/inference all share one code path, so dense training and
+dense inference are exactly self-consistent (unlike converting a
+patchwise CNN, whose padding/normalization semantics would change).
+
+Receptive fields legitimately cross window boundaries here — this is a
+scene-context model, an intentional capability *addition* documented in
+ARCHITECTURE.md, not a replacement for the reference-parity patch
+models.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dmfusion.models.common import (ConvBlock, ResBlock, activation_fn,
+                                    dtypes)
+
+ARITY = "dense"
+
+
+def window_mean(feats: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(H', W', D) -> (H, W, D): mean over every patch x patch window via
+    a summed-area table (two cumsums + four lookups).
+
+    O(1) work per window instead of reduce_window's patch^2 adds, and —
+    unlike ``lax.reduce_window`` — it linearizes under jax.checkpoint
+    (jax 0.9 cannot reverse-differentiate reduce_window through remat).
+    Accumulation in f32: a bf16 cumsum over thousands of rows would lose
+    the window differences entirely.
+    """
+    s = jnp.pad(feats.astype(jnp.float32), ((1, 0), (1, 0), (0, 0)))
+    s = s.cumsum(axis=0).cumsum(axis=1)
+    win = (s[patch:, patch:] - s[:-patch, patch:] - s[patch:, :-patch]
+           + s[:-patch, :-patch])
+    return (win / jnp.float32(patch * patch)).astype(feats.dtype)
+
+
+class Net(nn.Module):
+    cfg: Mapping[str, Any]
+
+    def setup(self):
+        cfg = self.cfg
+        act = activation_fn(cfg)
+        dtype, pdtype = dtypes(cfg)
+        w = int(cfg.get("model_width", 48))
+        self._dtype = dtype
+        self.ms_stem = ConvBlock(w // 2, 3, 1, act, dtype, pdtype,
+                                 name="ms_stem")
+        self.ms_block = ResBlock(w, 1, act, dtype, pdtype, name="ms_block")
+        self.pan_stem = ConvBlock(w // 2, 3, 2, act, dtype, pdtype,
+                                  name="pan_stem")
+        self.pan_stem2 = ConvBlock(w, 3, 2, act, dtype, pdtype,
+                                   name="pan_stem2")
+        self.pan_block = ResBlock(w, 1, act, dtype, pdtype,
+                                  name="pan_block")
+        self.gate = nn.Conv(w, (1, 1), dtype=dtype, param_dtype=pdtype,
+                            name="fusion_gate")
+        self.trunk1 = ResBlock(w, 1, act, dtype, pdtype, name="trunk1")
+        self.trunk2 = ResBlock(w, 1, act, dtype, pdtype, name="trunk2")
+        self.head1 = nn.Dense(w, dtype=dtype, param_dtype=pdtype,
+                              name="head1")
+        self.head2 = nn.Dense(cfg["Categories_Number"], dtype=jnp.float32,
+                              param_dtype=pdtype, name="head2")
+        self._act = act
+
+    def features(self, scene_ms: jnp.ndarray,
+                 scene_pan: jnp.ndarray) -> jnp.ndarray:
+        """(H', W', C) + (4H'', 4W'', 1) -> dense (H', W', D) features."""
+        ms = scene_ms[None].astype(self._dtype)
+        pan = scene_pan[None]
+        if pan.ndim == 3:
+            pan = pan[..., None]
+        pan = pan.astype(self._dtype)
+        h_ms = self.ms_block(self.ms_stem(ms))
+        h_pan = self.pan_block(self.pan_stem2(self.pan_stem(pan)))
+        # Align the 4x-reduced PAN grid to the MS grid (SAME-stride conv
+        # sizes are ceil-divided; crop the excess).
+        h_pan = h_pan[:, : h_ms.shape[1], : h_ms.shape[2], :]
+        z = nn.sigmoid(self.gate(jnp.concatenate([h_ms, h_pan], axis=-1)))
+        fused = z * h_ms + (1.0 - z) * h_pan
+        out = self.trunk2(self.trunk1(fused))
+        return out[0]
+
+    def pooled(self, scene_ms: jnp.ndarray, scene_pan: jnp.ndarray,
+               patch: int) -> jnp.ndarray:
+        """Dense features mean-pooled over every ps x ps anchor window:
+        -> (H, W, D) where entry (x, y) is the window-mean a patch model
+        would global-pool."""
+        return window_mean(self.features(scene_ms, scene_pan), patch)
+
+    def head(self, pooled_feats: jnp.ndarray) -> jnp.ndarray:
+        """(..., D) pooled features -> (..., num_classes) f32 logits."""
+        x = self._act(self.head1(pooled_feats))
+        return self.head2(x).astype(jnp.float32)
+
+    def __call__(self, scene_ms: jnp.ndarray, scene_pan: jnp.ndarray,
+                 patch: int) -> jnp.ndarray:
+        """Full-scene logits map (H, W, num_classes)."""
+        return self.head(self.pooled(scene_ms, scene_pan, patch))

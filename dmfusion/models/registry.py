@@ -87,5 +87,5 @@ def available_models() -> list[str]:
     return sorted(set(list(_EXPLICIT) + [
         "gmfnet", "resnet18", "cross_net", "vision_transformer",
         "swin_transformer", "swin_t_dual", "ct_lstm", "dqtl", "tri_net",
-        "generator", "discriminator",
+        "dense_fusion", "generator", "discriminator",
     ]))

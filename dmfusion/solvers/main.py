@@ -54,7 +54,7 @@ class Solver(BaseSolver):
 
     # -- model lifecycle ---------------------------------------------------
     def _make_scene_args(self, arity: str) -> tuple:
-        if arity == "dual":
+        if arity in ("dual", "dense"):
             return (self.scene.ms, self.scene.pan)
         if arity == "single":
             return (self.scene.ms,)
@@ -70,8 +70,9 @@ class Solver(BaseSolver):
         raise ValueError(f"unsupported model arity {arity!r} for MainSolver")
 
     def _programs_cls(self, arity: str):
+        from dmfusion.train.steps import DensePrograms
         return {"dual": DualPrograms, "tri": TriPrograms,
-                "single": SinglePrograms}[arity]
+                "single": SinglePrograms, "dense": DensePrograms}[arity]
 
     def init_model(self) -> None:
         cfg = self.cfg

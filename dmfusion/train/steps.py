@@ -216,6 +216,110 @@ class SinglePrograms(DualPrograms):
         return (shard_batch(self.mesh, out),)
 
 
+class DensePrograms(DualPrograms):
+    """Programs for the dense whole-scene model family (ARITY='dense',
+    models/dense_fusion.py): no patch gathering at all — features are
+    computed over the HBM-resident scene, window-pooled, and indexed by
+    anchor id.
+
+    Train: per step, the (gradient-checkpointed) dense pooled map is
+    recomputed under the current params and the train anchors' rows are
+    gathered for the head+loss (~1-2 ms/step for image6-scale scenes).
+    Eval/predict: ONE dense pass yields every pixel's logits.
+    """
+
+    def init(self, rng: jax.Array):
+        ps = self.patch
+        # Conv/head params are shape-independent of the scene size; a
+        # small dummy scene keeps init instant.
+        ms = jnp.zeros((2 * ps, 2 * ps, 4), jnp.float32)
+        pan = jnp.zeros((8 * ps, 8 * ps, 1), jnp.float32)
+        params = self.model.init(rng, ms, pan, ps)["params"]
+        return params, self.tx.init(params)
+
+    def _pooled(self, params, scene_args):
+        return self.model.apply({"params": params}, scene_args[0],
+                                scene_args[1], self.patch,
+                                method=self.model.pooled)
+
+    def _head(self, params, feats):
+        return self.model.apply({"params": params}, feats,
+                                method=self.model.head)
+
+    def _logits_map(self, params, scene_args):
+        return self.model.apply({"params": params}, scene_args[0],
+                                scene_args[1], self.patch)
+
+    def _train_epoch(self, params, opt_state, scene_args, ids, labels,
+                     mask):
+        # Only the conv features are rematerialized: jax 0.9 cannot
+        # linearize reduce_window under jax.checkpoint, so the (cheap)
+        # window pooling stays outside the remat boundary.
+        feat_fn = jax.checkpoint(
+            lambda p, s0, s1: self.model.apply(
+                {"params": p}, s0, s1, method=self.model.features))
+        ps = self.patch
+
+        def pooled_fn(p, s0, s1):
+            from dmfusion.models.dense_fusion import window_mean
+            return window_mean(feat_fn(p, s0, s1), ps)
+
+        def body(carry, batch):
+            params, opt_state = carry
+            ids_b, labels_b, mask_b = batch
+            ids_b = shard_batch(self.mesh, ids_b)
+
+            def lf(p):
+                pooled = pooled_fn(p, scene_args[0], scene_args[1])
+                d = pooled.shape[-1]
+                feats = pooled.reshape(-1, d)[ids_b]
+                logits = self._head(p, feats)
+                return self.loss_fn(logits, labels_b, mask_b)
+
+            loss, grads = jax.value_and_grad(lf)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (ids, labels, mask))
+        return params, opt_state, losses
+
+    def _eval_epoch(self, params, scene_args, ids, labels, mask):
+        logits_map = self._logits_map(params, scene_args)
+        c = logits_map.shape[-1]
+        flat = logits_map.reshape(-1, c)
+
+        def body(carry, batch):
+            loss_sum, conf = carry
+            ids_b, labels_b, mask_b = batch
+            logits = flat[ids_b]
+            per = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels_b.astype(jnp.int32))
+            loss_sum = loss_sum + (per * mask_b).sum()
+            pred = jnp.argmax(logits, axis=-1)
+            conf = conf + confusion_matrix(pred, labels_b,
+                                           self.num_classes, mask_b)
+            return (loss_sum, conf), None
+
+        init = (jnp.float32(0.0),
+                jnp.zeros((self.num_classes, self.num_classes),
+                          jnp.float32))
+        (loss_sum, conf), _ = jax.lax.scan(body, init, (ids, labels, mask))
+        return loss_sum, conf
+
+    def _predict(self, params, scene_args, ids):
+        logits_map = self._logits_map(params, scene_args)
+        pred_map = jnp.argmax(logits_map, axis=-1).astype(jnp.int32)
+        return pred_map.reshape(-1)[ids]
+
+    def predict_map(self, params, scene_args):
+        """(H, W) argmax class map in one dense pass (the full-scene
+        color() workload with zero per-pixel work)."""
+        logits_map = self._logits_map(params, scene_args)
+        return jnp.argmax(logits_map, axis=-1).astype(jnp.int32)
+
+
 class QuadPrograms(DualPrograms):
     """Epoch programs for the two-stage (DQTL) 4-stream classifier.
 
