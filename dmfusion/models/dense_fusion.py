@@ -60,21 +60,28 @@ class Net(nn.Module):
         cfg = self.cfg
         act = activation_fn(cfg)
         dtype, pdtype = dtypes(cfg)
-        w = int(cfg.get("model_width", 48))
+        w = int(cfg.get("model_width", 32))
         self._dtype = dtype
-        self.ms_stem = ConvBlock(w // 2, 3, 1, act, dtype, pdtype,
-                                 name="ms_stem")
-        self.ms_block = ResBlock(w, 1, act, dtype, pdtype, name="ms_block")
-        self.pan_stem = ConvBlock(w // 2, 3, 2, act, dtype, pdtype,
-                                  name="pan_stem")
-        self.pan_stem2 = ConvBlock(w, 3, 2, act, dtype, pdtype,
-                                   name="pan_stem2")
-        self.pan_block = ResBlock(w, 1, act, dtype, pdtype,
-                                  name="pan_block")
+        # Per-block rematerialization: whole-scene activations are
+        # ~0.5 GB each at image6 scale, so the backward pass must
+        # recompute per block instead of storing every intermediate
+        # (unchecked, image6 dense training needs ~37 GB of HBM).
+        CB = nn.remat(ConvBlock)
+        RB = nn.remat(ResBlock)
+        self.ms_stem = CB(w // 2, 3, 1, act, dtype, pdtype,
+                          name="ms_stem")
+        self.ms_block = RB(w, 1, act, dtype, pdtype, name="ms_block")
+        # PAN enters as 16-channel space-to-depth at MS resolution (a
+        # scene-sized C=1 conv input draws a (2,128)-tiled layout that
+        # pads 256x — 35 GB for image6's PAN — so channels-last must be
+        # fed >= a handful of channels).
+        self.pan_stem = CB(w, 3, 1, act, dtype, pdtype, name="pan_stem")
+        self.pan_block = RB(w, 1, act, dtype, pdtype,
+                            name="pan_block")
         self.gate = nn.Conv(w, (1, 1), dtype=dtype, param_dtype=pdtype,
                             name="fusion_gate")
-        self.trunk1 = ResBlock(w, 1, act, dtype, pdtype, name="trunk1")
-        self.trunk2 = ResBlock(w, 1, act, dtype, pdtype, name="trunk2")
+        self.trunk1 = RB(w, 1, act, dtype, pdtype, name="trunk1")
+        self.trunk2 = RB(w, 1, act, dtype, pdtype, name="trunk2")
         self.head1 = nn.Dense(w, dtype=dtype, param_dtype=pdtype,
                               name="head1")
         self.head2 = nn.Dense(cfg["Categories_Number"], dtype=jnp.float32,
@@ -85,15 +92,15 @@ class Net(nn.Module):
                  scene_pan: jnp.ndarray) -> jnp.ndarray:
         """(H', W', C) + (4H'', 4W'', 1) -> dense (H', W', D) features."""
         ms = scene_ms[None].astype(self._dtype)
-        pan = scene_pan[None]
-        if pan.ndim == 3:
-            pan = pan[..., None]
-        pan = pan.astype(self._dtype)
+        pan2d = scene_pan if scene_pan.ndim == 2 else scene_pan[..., 0]
+        # Space-to-depth 4x: PAN pixels under MS pixel (x, y) become its
+        # 16 channels, aligning the grids exactly.
+        hm, wm = ms.shape[1], ms.shape[2]
+        pan_s2d = pan2d[: 4 * hm, : 4 * wm].reshape(hm, 4, wm, 4)
+        pan_s2d = pan_s2d.transpose(0, 2, 1, 3).reshape(1, hm, wm, 16)
+        pan_s2d = pan_s2d.astype(self._dtype)
         h_ms = self.ms_block(self.ms_stem(ms))
-        h_pan = self.pan_block(self.pan_stem2(self.pan_stem(pan)))
-        # Align the 4x-reduced PAN grid to the MS grid (SAME-stride conv
-        # sizes are ceil-divided; crop the excess).
-        h_pan = h_pan[:, : h_ms.shape[1], : h_ms.shape[2], :]
+        h_pan = self.pan_block(self.pan_stem(pan_s2d))
         z = nn.sigmoid(self.gate(jnp.concatenate([h_ms, h_pan], axis=-1)))
         fused = z * h_ms + (1.0 - z) * h_pan
         out = self.trunk2(self.trunk1(fused))

@@ -252,17 +252,31 @@ class DensePrograms(DualPrograms):
 
     def _train_epoch(self, params, opt_state, scene_args, ids, labels,
                      mask):
-        # Only the conv features are rematerialized: jax 0.9 cannot
-        # linearize reduce_window under jax.checkpoint, so the (cheap)
-        # window pooling stays outside the remat boundary.
-        feat_fn = jax.checkpoint(
-            lambda p, s0, s1: self.model.apply(
-                {"params": p}, s0, s1, method=self.model.features))
+        # Remat happens per block *inside* the model (nn.remat in
+        # dense_fusion.setup); an outer jax.checkpoint here would both
+        # defeat it and fail to linearize the SAT pooling in jax 0.9.
+        # Training gathers the 4 summed-area-table corners per anchor
+        # rather than materializing the full (H, W, D) window-mean map —
+        # saves a scene-sized f32 tensor per step.
         ps = self.patch
+        width = self.width
 
-        def pooled_fn(p, s0, s1):
-            from dmfusion.models.dense_fusion import window_mean
-            return window_mean(feat_fn(p, s0, s1), ps)
+        def anchor_pooled(p, s0, s1, ids_b):
+            feats = self.model.apply({"params": p}, s0, s1,
+                                     method=self.model.features)
+            sat = jnp.pad(feats.astype(jnp.float32),
+                          ((1, 0), (1, 0), (0, 0)))
+            sat = sat.cumsum(axis=0).cumsum(axis=1)
+            d = sat.shape[-1]
+            w1 = sat.shape[1]
+            flat = sat.reshape(-1, d)
+            x = ids_b // width
+            y = ids_b % width
+            win = (flat[(x + ps) * w1 + (y + ps)]
+                   - flat[x * w1 + (y + ps)]
+                   - flat[(x + ps) * w1 + y]
+                   + flat[x * w1 + y])
+            return (win / jnp.float32(ps * ps)).astype(feats.dtype)
 
         def body(carry, batch):
             params, opt_state = carry
@@ -270,9 +284,8 @@ class DensePrograms(DualPrograms):
             ids_b = shard_batch(self.mesh, ids_b)
 
             def lf(p):
-                pooled = pooled_fn(p, scene_args[0], scene_args[1])
-                d = pooled.shape[-1]
-                feats = pooled.reshape(-1, d)[ids_b]
+                feats = anchor_pooled(p, scene_args[0], scene_args[1],
+                                      ids_b)
                 logits = self._head(p, feats)
                 return self.loss_fn(logits, labels_b, mask_b)
 

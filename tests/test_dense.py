@@ -90,4 +90,4 @@ def test_dense_pool_matches_manual_window_mean(dense_solver):
     f = np.asarray(feats, np.float64)
     want = f[3:3 + ps, 7:7 + ps].mean(axis=(0, 1))
     np.testing.assert_allclose(np.asarray(pooled[3, 7], np.float64), want,
-                               rtol=1e-4)
+                               rtol=1e-4, atol=1e-6)
