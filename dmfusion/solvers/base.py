@@ -114,8 +114,15 @@ class BaseSolver:
         self._epoch_rng = rng
 
     def batches(self, ids: np.ndarray, batch: int, shuffle: bool = False,
-                trim: bool = False):
-        """-> (ids (steps,B), labels (steps,B), mask (steps,B), n)."""
+                trim: bool = False, round_to: int = 1):
+        """-> (ids (steps,B), labels (steps,B), mask (steps,B), n).
+
+        ``round_to`` rounds the batch size up (eval/predict only — the
+        mask keeps metrics exact) so e.g. the reference's batch 300 still
+        hits the Pallas gather's 64-multiple fast path.
+        """
+        if round_to > 1:
+            batch = -(-batch // round_to) * round_to
         ids = np.asarray(ids)
         if shuffle:
             ids = self._epoch_rng.permutation(ids)

@@ -122,7 +122,7 @@ class Solver(BaseSolver):
             val_loss = None
             if save_best:
                 vids, vlabels, vmask, _ = self.batches(
-                    self.split.valid, cfg["color_batchsize"])
+                    self.split.valid, cfg["color_batchsize"], round_to=64)
                 loss_sum, _ = self.programs.eval_epoch(
                     self.params, self.scene_args, vids, vlabels,
                     vmask.astype(jnp.float32))
@@ -172,7 +172,8 @@ class Solver(BaseSolver):
         t0 = self.now()
         params = self._load_eval_params()
         ids, labels, mask, _ = self.batches(self.split.test,
-                                            cfg["test_batchsize"])
+                                            cfg["test_batchsize"],
+                                            round_to=64)
         _, conf = self.programs.eval_epoch(
             params, self.scene_args, ids, labels, mask.astype(jnp.float32))
         self.test_matrix = np.asarray(conf)
@@ -181,7 +182,7 @@ class Solver(BaseSolver):
 
     def _predict_ids(self, params, ids: np.ndarray,
                      batch: int) -> np.ndarray:
-        chunks, _, _, n = self.batches(ids, batch)
+        chunks, _, _, n = self.batches(ids, batch, round_to=64)
         preds = self.programs.predict(params, self.scene_args, chunks)
         return np.asarray(preds).reshape(-1)[:n]
 

@@ -207,7 +207,7 @@ class TwoStageSolver(Solver):
             val_loss = None
             if save_best:
                 vids, vlabels, vmask, _ = self.batches(
-                    self.split.valid, cfg["color_batchsize"])
+                    self.split.valid, cfg["color_batchsize"], round_to=64)
                 loss_sum, _ = self.programs.eval_epoch(
                     self.params, self.scene_args, vids, vlabels,
                     vmask.astype(jnp.float32))
@@ -238,7 +238,8 @@ class TwoStageSolver(Solver):
         t0 = self.now()
         params = self._load_eval_params()
         ids, labels, mask, _ = self.batches(self.split.test,
-                                            cfg["test_batchsize"])
+                                            cfg["test_batchsize"],
+                                            round_to=64)
         _, conf = self.programs.eval_epoch(params, self.scene_args, ids,
                                            labels, mask.astype(jnp.float32))
         self.test_matrix = np.asarray(conf)
