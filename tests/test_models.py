@@ -117,3 +117,22 @@ def test_model_arity_metadata():
     assert model_arity("tri_net") == "tri"
     assert model_arity("dqtl") == "quad"
     assert model_arity("generator") == "image"
+
+
+def test_swin_shift_mask_and_bias():
+    """Shifted windows must mask cross-region attention; the relative
+    bias table must have the right geometry."""
+    import numpy as np
+    from dmfusion.models.swin import _relative_index, _shift_mask
+    ws = 2
+    idx = _relative_index(ws)
+    assert idx.shape == (4, 4)
+    assert idx.max() < (2 * ws - 1) ** 2
+    # Same relative displacement -> same table entry.
+    assert idx[0, 1] == idx[2, 3]  # both are (0, +1) neighbors
+    mask = _shift_mask(8, 8, ws, 1)
+    assert mask.shape == (16, 4, 4)
+    # Interior windows are unmasked; wrap-around windows have -100 pairs.
+    assert (mask == 0).any() and (mask == -100).any()
+    # Mask is symmetric per window.
+    np.testing.assert_array_equal(mask, mask.transpose(0, 2, 1))
