@@ -261,7 +261,11 @@ class DensePrograms(DualPrograms):
         ps = self.patch
         width = self.width
 
+        @jax.checkpoint
         def anchor_pooled(p, s0, s1, ids_b):
+            # Checkpointed end to end (cumsum linearizes under remat,
+            # unlike reduce_window): the backward recomputes features+SAT
+            # rather than storing scene-sized cumsum intermediates.
             feats = self.model.apply({"params": p}, s0, s1,
                                      method=self.model.features)
             sat = jnp.pad(feats.astype(jnp.float32),
