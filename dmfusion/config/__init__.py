@@ -34,6 +34,9 @@ _PLACEHOLDER = re.compile(r"\{\{\s*(\w+)\s*\}\}")
 def _interp_params(cfg: Mapping[str, Any]) -> dict[str, Any]:
     """The placeholder vocabulary the reference exposes (utils/config.py:21-36)."""
     city = cfg["data_city"]
+    if city not in cfg["DATA_DICT"]:
+        raise ValueError(f"unknown data_city {city!r}; known: "
+                         f"{sorted(cfg['DATA_DICT'])}")
     return {
         "p2": str(Path(__file__).resolve().parents[2]),
         "dc": city,
@@ -65,12 +68,17 @@ def _interpolate(node: Any, params: Mapping[str, Any]) -> Any:
 
 
 def render_config(cfg: Mapping[str, Any]) -> dict[str, Any]:
-    """Validate + resolve ``{{...}}`` placeholders in all string values.
+    """Resolve ``{{...}}`` placeholders in all string values, then
+    validate.
 
-    Two passes so that templates referencing other templated values
+    Interpolation must precede validation: reference-style configs carry
+    placeholders in numeric fields (``Categories_Number: '{{num}}'``,
+    config.yml:28) that coercion would otherwise choke on.  Two passes so
+    that templates referencing other templated values
     (e.g. ``RESULT_excel: '{{RESULT}}/...'``, config.yml:22) resolve.
     """
-    out = validate(cfg)
+    from dmfusion.config.schema import _deep_merge
+    out = _deep_merge(DEFAULTS, dict(cfg))
     for _ in range(2):
         out = _interpolate(out, _interp_params(out))
     return validate(out)

@@ -65,3 +65,41 @@ def test_prepare_run_slot_numbering(tmp_path):
     os.remove(c0["RESULT_excel"])
     c2 = prepare_run(cfg)
     assert c2["FILE_NUM"] == 0
+
+
+def test_root_config_yaml_loads():
+    """The shipped config.yml (the user-facing surface) must load,
+    interpolate its {{...}} placeholders, and validate."""
+    import os
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "config.yml")
+    cfg = load_config(root)
+    assert cfg["model_name"] == "gmfnet"
+    assert cfg["Categories_Number"] == 12          # {{num}} for image6
+    assert "{{" not in cfg["RESULT"]               # placeholders resolved
+    assert cfg["RESULT"] == "Export_result/image6_tr0.02_ep50_bs256/"
+    assert cfg["dqtl"]["pic_size"] == 128
+    assert cfg["mesh"]["data"] == -1
+
+
+def test_reference_shaped_yaml_loads(tmp_path):
+    """A config written in the reference's own style (Jinja placeholders,
+    string numerics, missing dqtl section) must render cleanly."""
+    p = tmp_path / "ref.yml"
+    p.write_text("""
+model_name: cross_net
+data_city: image7
+patch_size: 16
+Categories_Number: '{{num}}'
+train_rate: 0.05
+RESULT: 'out/{{dc}}_tr{{tr}}_ep{{ep}}_bs{{bs}}/'
+RESULT_excel: '{{RESULT}}/{{mn}}__{{FN}}_result.xlsx'
+schedule:
+  lr: 1e-4
+""")
+    cfg = load_config(str(p))
+    assert cfg["Categories_Number"] == 12
+    assert cfg["RESULT"] == "out/image7_tr0.05_ep50_bs256/"
+    assert "cross_net__0_result.xlsx" in cfg["RESULT_excel"]
+    assert cfg["schedule"]["lr"] == 1e-4
+    assert "dqtl" in cfg  # defaults injected
