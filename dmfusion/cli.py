@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from typing import Any
 
 
@@ -75,6 +76,16 @@ def main(argv: list[str] | None = None) -> None:
     from dmfusion.solvers import build_solver
     solver = build_solver(cfg)
     solver.run()
+
+    # Hard-exit once all work (checkpoints, reports, maps) is on disk:
+    # remote-TPU plugin backends can leave non-daemon tunnel threads that
+    # hang interpreter teardown indefinitely (observed: >10 min after the
+    # last artifact was written).  Set DMFUSION_NO_HARD_EXIT=1 to opt out.
+    if os.environ.get("DMFUSION_NO_HARD_EXIT") != "1":
+        import sys
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
 
 if __name__ == "__main__":
