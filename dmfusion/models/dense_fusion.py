@@ -30,10 +30,58 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dmfusion.models.common import (ConvBlock, ResBlock, activation_fn,
-                                    dtypes)
+from dmfusion.models.common import activation_fn, dtypes
 
 ARITY = "dense"
+
+
+class LocalConvBlock(nn.Module):
+    """Conv -> channels-only LayerNorm -> activation.
+
+    ConvNeXt-style per-pixel normalization instead of GroupNorm: the
+    statistics have zero spatial extent, so dense features are exactly
+    *local* — band-sharded inference (spatial parallelism with halo)
+    produces bit-identical results to the single-device pass.
+    """
+
+    features: int
+    kernel: int = 3
+    act: Any = nn.relu
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    padding="SAME", dtype=self.dtype,
+                    param_dtype=self.param_dtype)(x)
+        x = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        return self.act(x)
+
+
+class LocalResBlock(nn.Module):
+    features: int
+    act: Any = nn.relu
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        sc = x
+        y = LocalConvBlock(self.features, 3, self.act, self.dtype,
+                           self.param_dtype)(x)
+        y = nn.Conv(self.features, (3, 3), padding="SAME",
+                    dtype=self.dtype, param_dtype=self.param_dtype)(y)
+        y = nn.LayerNorm(dtype=self.dtype, param_dtype=self.param_dtype)(y)
+        if sc.shape[-1] != self.features:
+            sc = nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                         param_dtype=self.param_dtype)(sc)
+        return self.act(y + sc)
+
+
+# Receptive radius of features(): ms path = stem(1) + resblock(2) +
+# trunk resblocks(2+2) = 7 rows of 3x3 convs -> radius 7.
+RECEPTIVE_RADIUS = 7
 
 
 def window_mean(feats: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -66,22 +114,20 @@ class Net(nn.Module):
         # ~0.5 GB each at image6 scale, so the backward pass must
         # recompute per block instead of storing every intermediate
         # (unchecked, image6 dense training needs ~37 GB of HBM).
-        CB = nn.remat(ConvBlock)
-        RB = nn.remat(ResBlock)
-        self.ms_stem = CB(w // 2, 3, 1, act, dtype, pdtype,
-                          name="ms_stem")
-        self.ms_block = RB(w, 1, act, dtype, pdtype, name="ms_block")
+        CB = nn.remat(LocalConvBlock)
+        RB = nn.remat(LocalResBlock)
+        self.ms_stem = CB(w // 2, 3, act, dtype, pdtype, name="ms_stem")
+        self.ms_block = RB(w, act, dtype, pdtype, name="ms_block")
         # PAN enters as 16-channel space-to-depth at MS resolution (a
         # scene-sized C=1 conv input draws a (2,128)-tiled layout that
         # pads 256x — 35 GB for image6's PAN — so channels-last must be
         # fed >= a handful of channels).
-        self.pan_stem = CB(w, 3, 1, act, dtype, pdtype, name="pan_stem")
-        self.pan_block = RB(w, 1, act, dtype, pdtype,
-                            name="pan_block")
+        self.pan_stem = CB(w, 3, act, dtype, pdtype, name="pan_stem")
+        self.pan_block = RB(w, act, dtype, pdtype, name="pan_block")
         self.gate = nn.Conv(w, (1, 1), dtype=dtype, param_dtype=pdtype,
                             name="fusion_gate")
-        self.trunk1 = RB(w, 1, act, dtype, pdtype, name="trunk1")
-        self.trunk2 = RB(w, 1, act, dtype, pdtype, name="trunk2")
+        self.trunk1 = RB(w, act, dtype, pdtype, name="trunk1")
+        self.trunk2 = RB(w, act, dtype, pdtype, name="trunk2")
         self.head1 = nn.Dense(w, dtype=dtype, param_dtype=pdtype,
                               name="head1")
         self.head2 = nn.Dense(cfg["Categories_Number"], dtype=jnp.float32,

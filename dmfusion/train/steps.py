@@ -18,6 +18,7 @@ label / mask arrays.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Mapping
 
 import jax
@@ -335,6 +336,62 @@ class DensePrograms(DualPrograms):
         color() workload with zero per-pixel work)."""
         logits_map = self._logits_map(params, scene_args)
         return jnp.argmax(logits_map, axis=-1).astype(jnp.int32)
+
+    def predict_map_sharded(self, params, scene_args, mesh):
+        """Spatially-sharded dense map: each device computes one
+        horizontal band of the scene (rows split over the mesh 'data'
+        axis) with a halo of ``RECEPTIVE_RADIUS`` extra rows, so results
+        are exactly identical to the single-device pass (the dense model
+        uses only per-pixel normalization — models/dense_fusion.py).
+
+        This is the scene-pixel-axis parallelism plan of SURVEY.md §2.3
+        realized for the dense family: city-scale scenes whose dense
+        activations exceed one chip's HBM split across the mesh with no
+        communication at all (the band overlap plays the role of an
+        up-front halo exchange).
+        """
+        from jax.sharding import PartitionSpec as P
+        from dmfusion.models.dense_fusion import RECEPTIVE_RADIUS
+        try:
+            from jax import shard_map as _shard_map
+            shard_map = functools.partial(_shard_map, check_vma=False)
+        except ImportError:
+            from jax.experimental.shard_map import shard_map as _shard_map
+            shard_map = functools.partial(_shard_map, check_rep=False)
+
+        ms, pan = scene_args[0], scene_args[1]
+        pan = pan if pan.ndim == 2 else pan[..., 0]
+        ps = self.patch
+        h = ms.shape[0] - ps + 1      # output map rows
+        w = ms.shape[1] - ps + 1
+        data = mesh.shape["data"]
+        band = -(-h // data)          # output rows per device
+        halo = RECEPTIVE_RADIUS
+        # Scene rows needed for `band` output rows.
+        need = band + ps - 1 + 2 * halo
+        # Zero-pad the bottom so every band slice is in bounds; explicit
+        # zero rows are indistinguishable from the SAME-conv zero padding
+        # the unsharded pass sees, so results stay bit-identical.
+        pad_r = (data - 1) * band - halo + need - ms.shape[0]
+        if pad_r > 0:
+            ms = jnp.pad(ms, ((0, pad_r), (0, 0), (0, 0)))
+            pan = jnp.pad(pan, ((0, 4 * pad_r), (0, 0)))
+
+        def local(p, ms_l, pan_l):
+            i = jax.lax.axis_index("data")
+            start = i * band          # first output row of this device
+            s0 = jnp.maximum(start - halo, 0)
+            band_ms = jax.lax.dynamic_slice_in_dim(ms_l, s0, need, 0)
+            band_pan = jax.lax.dynamic_slice_in_dim(pan_l, 4 * s0, 4 * need,
+                                                    0)
+            logits = self.model.apply({"params": p}, band_ms, band_pan, ps)
+            out = jax.lax.dynamic_slice_in_dim(logits, start - s0, band, 0)
+            return jnp.argmax(out, axis=-1).astype(jnp.int32)[None]
+
+        fn = shard_map(local, mesh=mesh, in_specs=(P(), P(), P()),
+                       out_specs=P("data"))
+        stacked = fn(params, ms, pan)          # (data, band, W)
+        return stacked.reshape(data * band, -1)[:h, :w]
 
 
 class QuadPrograms(DualPrograms):

@@ -91,3 +91,39 @@ def test_dense_pool_matches_manual_window_mean(dense_solver):
     want = f[3:3 + ps, 7:7 + ps].mean(axis=(0, 1))
     np.testing.assert_allclose(np.asarray(pooled[3, 7], np.float64), want,
                                rtol=1e-4, atol=1e-6)
+
+
+def test_dense_sharded_map_matches(dense_solver):
+    """Band-sharded dense inference over the 8-device mesh matches the
+    single-pass map.  The halo covers the receptive field and norms are
+    per-pixel, so the only permitted differences are argmax flips on
+    float near-ties (the SAT cumsum accumulates in a different order per
+    band); with fresh params agreement is exact, with trained logits a
+    handful of ties may flip."""
+    from dmfusion.parallel.mesh import get_mesh
+    prog = dense_solver.programs
+    params = dense_solver.params
+    args = dense_solver.scene_args
+    mesh = get_mesh(None)
+    single = np.asarray(prog.predict_map(params, args))
+    sharded = np.asarray(prog.predict_map_sharded(params, args, mesh))
+    assert sharded.shape == single.shape
+    agreement = (sharded == single).mean()
+    assert agreement > 0.995, agreement
+
+
+def test_dense_sharded_map_exact_with_fresh_params(dense_cfg):
+    """Structural exactness check: with untrained params (no near-ties
+    amplified by training) the sharded and single maps are identical —
+    any halo/boundary bug would break this for every parameter set."""
+    import jax
+    from dmfusion.parallel.mesh import get_mesh
+    from dmfusion.solvers import build_solver
+    s = build_solver(dict(dense_cfg, time=1))
+    s.dataloader()
+    s.init_model()
+    mesh = get_mesh(None)
+    single = np.asarray(s.programs.predict_map(s.params, s.scene_args))
+    sharded = np.asarray(
+        s.programs.predict_map_sharded(s.params, s.scene_args, mesh))
+    np.testing.assert_array_equal(sharded, single)
