@@ -73,6 +73,12 @@ def main(argv: list[str] | None = None) -> None:
         except RuntimeError:
             pass  # backend already initialized
 
+    # NaN sanitizer (SURVEY §5 race-detection/sanitizers row): the
+    # jit-purity analog of cudnn determinism knobs.
+    if cfg.get("debug", {}).get("nans"):
+        import jax
+        jax.config.update("jax_debug_nans", True)
+
     from dmfusion.solvers import build_solver
     solver = build_solver(cfg)
     solver.run()

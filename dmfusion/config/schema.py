@@ -166,8 +166,13 @@ DEFAULTS: dict[str, Any] = {
     "precision": {
         "compute_dtype": "bfloat16",   # forward/backward compute
         "param_dtype": "float32",      # master params + optimizer state
+        "scene_dtype": "float32",      # HBM-resident scene storage; set
+                                       # "bfloat16" for ~5% faster gathers
+                                       # (BENCH_NOTES.md) at the cost of
+                                       # bit-exact gather parity
     },
     "profile": {"enabled": 0, "dir": "profile/"},
+    "debug": {"nans": 0},              # jax_debug_nans sanitizer (SURVEY §5)
 }
 
 _NUMERIC_COERCIONS = (

@@ -90,6 +90,9 @@ class BaseSolver:
         train_rate/verify_rate, in the reference's [train, test, valid]
         partition order over one permutation."""
         cfg = self.cfg
+        # Fresh per-repeat records: the {time}_records.json written at the
+        # end of train() must hold only this repeat's curves.
+        self.records = {"Epoch": [], "Loss": [], "ValLoss": []}
         rng = np.random.default_rng(int(cfg["seed"]) + int(self.time))
         if self.masked_split is not None:
             _, train_ids, test_pool = self.masked_split
@@ -112,6 +115,18 @@ class BaseSolver:
                            valid_ids.astype(np.int32),
                            self.labeled_ids, self.unlabeled_ids)
         self._epoch_rng = rng
+        if cfg.get("use_h5"):
+            # Honor the knob the reference defines but rejects
+            # (basesolver.py:45-46 raises): materialize this repeat's
+            # train patches as an HDF5 cache — the working version of
+            # the reference's offline dataset_cut/save_h5 path
+            # (function/function.py:46-90).
+            from dmfusion.utils.h5cache import save_patches
+            os.makedirs(cfg["RESULT_output"], exist_ok=True)
+            path = os.path.join(cfg["RESULT_output"],
+                                f"{self.time}_train_patches.h5")
+            if not os.path.exists(path):
+                save_patches(path, self.scene, self.split.train)
 
     def batches(self, ids: np.ndarray, batch: int, shuffle: bool = False,
                 trim: bool = False, round_to: int = 1):

@@ -85,7 +85,17 @@ class Solver(BaseSolver):
                  // cfg["batchsize"]))
         self.tx = make_optimizer(cfg, steps_per_epoch)
         loss_name = cfg["schedule"]["loss"]
-        loss_fn = make_loss(loss_name, cfg) if loss_name != "Criterion" else None
+        if loss_name != "Criterion":
+            # The reference's MSE/L1/KL factory options crash its main
+            # solver too (float (B,C) logits vs integer targets,
+            # mainsolver.py:53); qua_loss belongs to the two-stage
+            # solver.  Fail at config time with a real message instead
+            # of a TypeError mid-trace.
+            raise ValueError(
+                f"schedule.loss {loss_name!r} is not usable with the main "
+                "solver (integer-label classification); use 'Criterion' "
+                "(qua_loss is selected automatically by task 'dqtl')")
+        loss_fn = None
         self.programs = self._programs_cls(arity)(
             self.model, self.tx, cfg, self.scene.width, self.scene.patch,
             self.mesh, loss_fn)

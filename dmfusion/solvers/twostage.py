@@ -196,6 +196,20 @@ class TwoStageSolver(Solver):
         best_loss = float("inf")
         save_best = cfg["train"]["save_best"]
         self.epoch = 0
+        if cfg["train"].get("resume") and os.path.exists(
+                self.cur_weights_path()):
+            # Same restartability as MainSolver (solvers/main.py): the
+            # reference scaffolds epoch resume but never wires it
+            # (basesolver.py:107-119).
+            ckpt = load_checkpoint(self.cur_weights_path(), {
+                "params": self.params, "opt_state": self.opt_state,
+                "epoch": 0})
+            self.params = ckpt["params"]
+            self.opt_state = ckpt["opt_state"]
+            self.epoch = int(ckpt["epoch"]) + 1
+            if not cfg.get("nohup"):
+                print(f"[stage2 repeat {self.time}] resumed at epoch "
+                      f"{self.epoch}")
         while self.epoch < self.EPOCH:
             ids, labels, mask, _ = self.batches(self.split.train,
                                                 cfg["batchsize"],
@@ -232,6 +246,7 @@ class TwoStageSolver(Solver):
             self.epoch += 1
         self.train_time = self.now() - t0
         self.epoch = 0
+        self.save_records()
 
     def test(self) -> None:
         cfg = self.cfg

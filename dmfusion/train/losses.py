@@ -23,12 +23,20 @@ import jax.numpy as jnp
 import optax
 
 
-def _kl_batchmean(log_input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+def _kl_batchmean(log_input: jnp.ndarray, target: jnp.ndarray,
+                  weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """torch.nn.functional.kl_div(log_input, target, reduction='batchmean'):
-    sum(target * (log target - log_input)) / batch, with 0 log 0 := 0."""
+    sum(target * (log target - log_input)) / batch, with 0 log 0 := 0.
+
+    ``weights`` (B,) turns the batch mean into a weighted mean — used to
+    exclude padded rows from eval batches (zero weight) while keeping
+    static shapes."""
     safe_log_t = jnp.where(target > 0, jnp.log(jnp.where(target > 0, target, 1.0)), 0.0)
     pointwise = target * (safe_log_t - log_input)
-    return pointwise.sum() / log_input.shape[0]
+    if weights is None:
+        return pointwise.sum() / log_input.shape[0]
+    w = weights.astype(pointwise.dtype)
+    return (pointwise.sum(axis=-1) * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
@@ -55,8 +63,13 @@ def kl(log_pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def qua_loss(out: jnp.ndarray, bs: int, targets: jnp.ndarray,
-             cfg: Mapping[str, Any]) -> jnp.ndarray:
-    """Quadruplet KL loss over 4-stream concatenated logits (4*bs, C)."""
+             cfg: Mapping[str, Any],
+             mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Quadruplet KL loss over 4-stream concatenated logits (4*bs, C).
+
+    ``mask`` (bs,) — optional per-sample validity weights; padded rows
+    (static-shape eval batches) are excluded from every batch-mean so the
+    reported loss is exact for partial batches."""
     d = cfg["dqtl"]
     eps = d["epsilon"]
     tao = d["tao"]
@@ -67,7 +80,7 @@ def qua_loss(out: jnp.ndarray, bs: int, targets: jnp.ndarray,
                   data[3 * bs:4 * bs])
 
     def term(x, y):
-        return _kl_batchmean(jnp.log(x + eps), y)
+        return _kl_batchmean(jnp.log(x + eps), y, mask)
 
     loss = jnp.float32(0.0)
     if alpha != 0:
@@ -83,15 +96,20 @@ def qua_loss(out: jnp.ndarray, bs: int, targets: jnp.ndarray,
     if beta != 0:
         kl_m_gp = term(s, p)
         kl_p_gm = term(s, q)
-        l3_ = jnp.mean(jnp.exp(-jnp.abs(kl_m_gp / p)) +
-                       jnp.exp(-jnp.abs(kl_p_gm / q)))
+        bal = (jnp.exp(-jnp.abs(kl_m_gp / p)) +
+               jnp.exp(-jnp.abs(kl_p_gm / q)))
+        if mask is None:
+            l3_ = jnp.mean(bal)
+        else:
+            w = mask.astype(bal.dtype)[:, None]
+            l3_ = (bal * w).sum() / jnp.maximum(w.sum() * bal.shape[-1], 1.0)
         loss = loss + beta * l3_
     # Classification term: KL(softmax(p+q) || softmaxed one-hot labels)
     # (reference loss_class, train/loss_function.py:46-54).
     onehot = jax.nn.one_hot(targets.astype(jnp.int32), out.shape[-1])
     soft_label = jax.nn.softmax(onehot, axis=-1)
     pq = jax.nn.log_softmax(p + q, axis=-1)
-    l4_ = _kl_batchmean(pq, soft_label)
+    l4_ = _kl_batchmean(pq, soft_label, mask)
     return loss + gamma * l4_
 
 
@@ -105,5 +123,6 @@ def make_loss(loss_type: str, cfg: Mapping[str, Any]) -> Callable:
     if loss_type == "KL":
         return kl
     if loss_type == "qua_loss":
-        return lambda out, bs, t, c=cfg: qua_loss(out, bs, t, c)
+        return lambda out, bs, t, c=cfg, mask=None: qua_loss(out, bs, t, c,
+                                                             mask)
     raise ValueError(f"unknown loss {loss_type!r}")

@@ -35,9 +35,12 @@ def make_schedule(cfg: Mapping[str, Any],
         return per_epoch(
             lambda e: lr * (0.1 + 0.9 * min(e, 10) / 10))
     if name == "CosineAnnealingLR":
+        # torch closed form (T_max=50, eta_min=base_lr): the cosine
+        # continues past T_max (period 100, mirroring back up) — no
+        # restart/modulo (reference utils/utils.py:47-48).
         return per_epoch(
             lambda e: base_lr + (lr - base_lr)
-            * (1 + math.cos(math.pi * (e % 50) / 50)) / 2)
+            * (1 + math.cos(math.pi * e / 50)) / 2)
     if name == "CyclicLR":
         def cyclic(e):
             pos = e % 50
@@ -46,11 +49,24 @@ def make_schedule(cfg: Mapping[str, Any],
             return lr - (lr - base_lr) * (pos - 10) / 40
         return per_epoch(cyclic)
     if name == "OneCycleLR":
+        # torch OneCycleLR(max_lr=lr, pct_start=0.5, total_steps=epoch,
+        # div_factor=final_div_factor=lr/base_lr), default cos anneal
+        # (reference utils/utils.py:53-57): initial = base_lr, peak at
+        # step pct_start*total-1, min = base_lr^2/lr at total-1.
+        min_lr = base_lr * base_lr / lr
+
+        def anneal_cos(start, end, pct):
+            return end + (start - end) / 2 * (1 + math.cos(math.pi * pct))
+
+        up_end = 0.5 * epochs - 1
+        dn_end = epochs - 1
+
         def onecycle(e):
-            pct = min(e / max(epochs, 1), 1.0)
-            if pct < 0.5:
-                return base_lr + (lr - base_lr) * (pct / 0.5)
-            return lr - (lr - base_lr) * ((pct - 0.5) / 0.5)
+            e = min(e, dn_end)
+            if e <= up_end:
+                return anneal_cos(base_lr, lr, e / max(up_end, 1e-12))
+            return anneal_cos(lr, min_lr,
+                              (e - up_end) / max(dn_end - up_end, 1e-12))
         return per_epoch(onecycle)
     if name == "ConstantLR":
         factor = base_lr / lr

@@ -90,6 +90,26 @@ def test_qua_loss_golden(rng, alpha, beta):
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+@pytest.mark.parametrize("alpha,beta", [(0.1, 0.5), (0.0, 0.0)])
+def test_qua_loss_masked_equals_trimmed(rng, alpha, beta):
+    """Masked qua_loss over a padded batch == unmasked qua_loss over the
+    valid rows only (padding must not pollute the KL batch-means)."""
+    bs, valid, c = 8, 5, 6
+    out = rng.standard_normal((4 * bs, c)).astype(np.float64)
+    t = rng.integers(1, c, bs)
+    mask = np.zeros(bs, np.float32)
+    mask[:valid] = 1.0
+    cfg = {"dqtl": {"epsilon": 1e-8, "tao": 0.1, "alpha": alpha,
+                    "beta": beta, "gamma": 1.0}}
+    got = float(qua_loss(jnp.asarray(out), bs, jnp.asarray(t), cfg,
+                         jnp.asarray(mask)))
+    trimmed = np.concatenate([out[i * bs: i * bs + valid]
+                              for i in range(4)])
+    want = float(qua_loss(jnp.asarray(trimmed), valid,
+                          jnp.asarray(t[:valid]), cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_make_loss_factory():
     cfg = {"dqtl": {"epsilon": 1e-8, "tao": 0.1, "alpha": 0.1, "beta": 0.0,
                     "gamma": 1.0}}

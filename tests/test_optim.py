@@ -71,6 +71,57 @@ def test_optimizer_factory_updates(opt):
     assert float(new["w"][0]) < 1.0  # descent direction
 
 
+def _torch_scheduler(name, optimizer, lr, base_lr, epochs):
+    import torch.optim.lr_scheduler as ls
+    if name == "StepLR":
+        return ls.StepLR(optimizer, step_size=50, gamma=base_lr / lr)
+    if name == "LinearLR":
+        return ls.LinearLR(optimizer, start_factor=0.1, end_factor=1,
+                           total_iters=10)
+    if name == "CosineAnnealingLR":
+        return ls.CosineAnnealingLR(optimizer, 50, base_lr)
+    if name == "CyclicLR":
+        return ls.CyclicLR(optimizer, base_lr=base_lr, max_lr=lr,
+                           step_size_up=10, step_size_down=40,
+                           cycle_momentum=False)
+    if name == "OneCycleLR":
+        return ls.OneCycleLR(optimizer, max_lr=lr, pct_start=0.5,
+                             total_steps=epochs, div_factor=lr / base_lr,
+                             final_div_factor=lr / base_lr)
+    if name == "ConstantLR":
+        return ls.ConstantLR(optimizer, factor=base_lr / lr, total_iters=10)
+    if name == "ChainedScheduler":
+        return ls.ChainedScheduler([
+            ls.LinearLR(optimizer, start_factor=0.1, end_factor=1,
+                        total_iters=10),
+            ls.ExponentialLR(optimizer, gamma=0.98)])
+    if name == "ExponentialLR":
+        return ls.ExponentialLR(optimizer=optimizer, gamma=0.98)
+    raise ValueError(name)
+
+
+@pytest.mark.parametrize("name", ["StepLR", "LinearLR", "CosineAnnealingLR",
+                                  "CyclicLR", "OneCycleLR", "ConstantLR",
+                                  "ChainedScheduler", "ExponentialLR"])
+def test_scheduler_golden_vs_torch(name):
+    """Per-epoch LR parity with the exact torch schedulers the reference
+    factory builds (utils/utils.py:39-71), over 100 epochs (OneCycleLR:
+    its torch total_steps, beyond which torch raises)."""
+    import torch
+    lr, base_lr, epochs = 1e-2, 1e-3, 50
+    n = epochs if name == "OneCycleLR" else 100
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=lr)
+    tsched = _torch_scheduler(name, opt, lr, base_lr, epochs)
+    golden = []
+    for _ in range(n):
+        golden.append(opt.param_groups[0]["lr"])
+        tsched.step()
+    sched = make_schedule(_cfg(scheduler=name, lr=lr, base_lr=base_lr), 1)
+    ours = [sched(e) for e in range(n)]
+    np.testing.assert_allclose(ours, golden, rtol=1e-6, atol=1e-12,
+                               err_msg=name)
+
+
 def test_unknown_raises():
     with pytest.raises(ValueError):
         make_schedule(_cfg(scheduler="Nope"), 1)

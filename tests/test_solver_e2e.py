@@ -87,6 +87,58 @@ def test_color_maps(finished_solver, run_cfg):
             run_cfg["RESULT_output"], f"0_pic_{tag}.png"))
 
 
+def test_records_reset_per_repeat(finished_solver):
+    """dataloader() starts a fresh per-repeat records dict, so repeat N's
+    {time}_records.json never carries earlier repeats' curves."""
+    assert finished_solver.records["Loss"]  # populated by the run
+    finished_solver.time = 0  # same repeat seed -> identical re-split
+    finished_solver.dataloader()
+    assert finished_solver.records == {"Epoch": [], "Loss": [],
+                                       "ValLoss": []}
+
+
+def test_use_h5_writes_patch_cache(tmp_path):
+    """`use_h5: 1` materializes the repeat's train-patch HDF5 cache (the
+    working form of the reference's disabled dataset_cut path; the
+    reference itself raises on this knob, basesolver.py:45-46)."""
+    from dmfusion.config import load_config
+    from dmfusion.solvers import build_solver
+    from dmfusion.utils.h5cache import read_h5
+    cfg = load_config(overrides={
+        "data_city": "synth64", "patch_size": 8, "use_h5": 1,
+        "train_rate": 0.05, "verify_rate": 0.05, "seed": 0,
+        "expo_result": str(tmp_path) + "/",
+    }, prepare=True)
+    solver = build_solver(cfg)
+    solver.dataloader()
+    path = os.path.join(cfg["RESULT_output"], "0_train_patches.h5")
+    assert os.path.exists(path)
+    cache = read_h5(path)
+    n = len(solver.split.train)
+    ps = cfg["patch_size"]
+    assert cache["ms"].shape == (n, ps, ps, 4)
+    assert cache["pan"].shape == (n, 4 * ps, 4 * ps, 1)
+    assert cache["label"].shape == (n,)
+    assert (cache["label"] > 0).all()
+
+
+def test_non_classification_loss_rejected(tmp_path):
+    """schedule.loss MSE/L1/KL cannot drive the main solver (they crash
+    the reference's too, mainsolver.py:53) — fail at init with a clear
+    error instead of a TypeError mid-trace."""
+    from dmfusion.config import load_config
+    from dmfusion.solvers import build_solver
+    cfg = load_config(overrides={
+        "data_city": "synth64", "patch_size": 8,
+        "schedule": {"loss": "MSE"},
+        "expo_result": str(tmp_path) + "/",
+    }, prepare=True)
+    solver = build_solver(cfg)
+    solver.dataloader()
+    with pytest.raises(ValueError, match="not usable with the main"):
+        solver.init_model()
+
+
 def test_best_weights_reload_consistency(finished_solver):
     # test() after run() must reuse best params and reproduce the matrix.
     m1 = finished_solver.test_matrix.copy()
