@@ -79,6 +79,11 @@ def main(argv: list[str] | None = None) -> None:
         import jax
         jax.config.update("jax_debug_nans", True)
 
+    # Multi-host: must run before any backend touch so every process
+    # joins the global device view (no-op single-process).
+    from dmfusion.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed(cfg)
+
     from dmfusion.solvers import build_solver
     solver = build_solver(cfg)
     solver.run()

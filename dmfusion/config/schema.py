@@ -162,6 +162,8 @@ DEFAULTS: dict[str, Any] = {
     "mesh": {
         "data": -1,            # -1 => all available devices
         "model": 1,
+        "distributed": 0,      # 1 => jax.distributed.initialize() for
+                               # multi-host (env-driven coordinator)
     },
     "precision": {
         "compute_dtype": "bfloat16",   # forward/backward compute

@@ -84,21 +84,39 @@ class LocalResBlock(nn.Module):
 RECEPTIVE_RADIUS = 7
 
 
-def window_mean(feats: jnp.ndarray, patch: int) -> jnp.ndarray:
-    """(H', W', D) -> (H, W, D): mean over every patch x patch window via
-    a summed-area table (two cumsums + four lookups).
+def column_window_sums(feats: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(H', W', D) -> (H', W, D) f32 per-row horizontal window sums via a
+    column-direction summed-area table (one cumsum + two lookups).
 
-    O(1) work per window instead of reduce_window's patch^2 adds, and —
-    unlike ``lax.reduce_window`` — it linearizes under jax.checkpoint
-    (jax 0.9 cannot reverse-differentiate reduce_window through remat).
-    Accumulation in f32: a bf16 cumsum over thousands of rows would lose
-    the window differences entirely.
+    Row-local by construction: row r of the result depends only on row r
+    of ``feats``.  That property is what makes spatial (scene-row) band
+    sharding *bit-exact* — a global 2-D SAT would make every window sum
+    depend on the full row prefix, whose f32 rounding differs between a
+    band slice and the whole scene.  Accumulation in f32: a bf16 cumsum
+    over thousands of columns would lose the window differences.
     """
-    s = jnp.pad(feats.astype(jnp.float32), ((1, 0), (1, 0), (0, 0)))
-    s = s.cumsum(axis=0).cumsum(axis=1)
-    win = (s[patch:, patch:] - s[:-patch, patch:] - s[patch:, :-patch]
-           + s[:-patch, :-patch])
-    return (win / jnp.float32(patch * patch)).astype(feats.dtype)
+    s = jnp.pad(feats.astype(jnp.float32), ((0, 0), (1, 0), (0, 0)))
+    s = s.cumsum(axis=1)
+    return s[:, patch:] - s[:, :-patch]
+
+
+def window_mean(feats: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(H', W', D) -> (H, W, D): mean over every patch x patch window.
+
+    Column direction uses the cumsum trick (column_window_sums); the row
+    direction is a statically-unrolled chain of ``patch`` adds in fixed
+    left-to-right order, so output row x is a pure function of feature
+    rows [x, x+patch) — identical whether computed over the full scene
+    or a row band (bit-exact spatial sharding), and everything
+    linearizes under jax.checkpoint (jax 0.9 cannot
+    reverse-differentiate ``lax.reduce_window`` through remat).
+    """
+    colwin = column_window_sums(feats, patch)
+    h = feats.shape[0] - patch + 1
+    acc = colwin[0:h]
+    for i in range(1, patch):
+        acc = acc + colwin[i:i + h]
+    return (acc / jnp.float32(patch * patch)).astype(feats.dtype)
 
 
 class Net(nn.Module):

@@ -11,11 +11,46 @@ by the partitioner — there is no hand-written communication.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Mapping, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_initialize_distributed(cfg: Mapping[str, Any] | None = None
+                                 ) -> bool:
+    """Multi-host entry point (SURVEY.md §2.3 communication-backend row).
+
+    When ``mesh.distributed`` is set (or ``DMFUSION_DISTRIBUTED=1``),
+    call ``jax.distributed.initialize()`` so every host contributes its
+    local chips to one global ``jax.devices()`` view; coordinator
+    address / process count / process id come from the standard JAX env
+    vars (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID) or
+    the TPU metadata service on Cloud TPU pods.  ``get_mesh`` then lays
+    the ('data', 'model') axes over the *global* device list, so DP
+    gradients psum over ICI within a slice and DCN across slices with no
+    further code changes.
+
+    Returns True when running distributed.  Degrades gracefully: single
+    process (no env, flag unset) is a no-op; an already-initialized
+    runtime is left untouched.
+    """
+    want = bool(cfg and cfg.get("mesh", {}).get("distributed")) or \
+        os.environ.get("DMFUSION_DISTRIBUTED") == "1"
+    if not want:
+        return False
+    try:
+        jax.distributed.initialize()
+        return True
+    except (RuntimeError, ValueError) as e:  # already initialized / no env
+        if "already" in str(e).lower():
+            return True
+        import warnings
+        warnings.warn(f"jax.distributed.initialize failed ({e}); "
+                      "continuing single-process")
+        return False
 
 
 def get_mesh(cfg: Mapping[str, Any] | None = None,

@@ -198,24 +198,41 @@ class Solver(BaseSolver):
 
     def color(self) -> None:
         """Full-scene classification maps: map1 = supervised (labeled
-        pixels only), map2 = all pixels (reference mainsolver.py:155-201)."""
+        pixels only), map2 = all pixels (reference mainsolver.py:155-201).
+
+        Dense-arity models take ONE whole-scene dense pass (band-sharded
+        across the mesh when one exists) instead of per-anchor batches —
+        the flagship full-scene path, vs the reference's 4.2M
+        patch-crop+forward Python loop."""
         cfg = self.cfg
         params = self._load_eval_params()
         h, w = self.scene.height, self.scene.width
         label_np1 = np.zeros((h, w), np.int32)
         label_np2 = np.zeros((h, w), np.int32)
-        batch = cfg["color_batchsize"]
-        if cfg["color"]["supervised"]:
-            ids = self.split.labeled
-            preds = self._predict_ids(params, ids, batch)
-            x, y = self.scene.ids_to_xy(ids)
-            label_np1[x, y] = preds
-            label_np2[x, y] = preds
-        if cfg["color"]["unsupervised"]:
-            ids = self.split.unlabeled
-            preds = self._predict_ids(params, ids, batch)
-            x, y = self.scene.ids_to_xy(ids)
-            label_np2[x, y] = preds
+        from dmfusion.train.steps import DensePrograms
+        if isinstance(self.programs, DensePrograms):
+            pred = np.asarray(self.programs.predict_map_jitted()(
+                params, self.scene_args))
+            if cfg["color"]["supervised"]:
+                x, y = self.scene.ids_to_xy(self.split.labeled)
+                label_np1[x, y] = pred[x, y]
+                label_np2[x, y] = pred[x, y]
+            if cfg["color"]["unsupervised"]:
+                x, y = self.scene.ids_to_xy(self.split.unlabeled)
+                label_np2[x, y] = pred[x, y]
+        else:
+            batch = cfg["color_batchsize"]
+            if cfg["color"]["supervised"]:
+                ids = self.split.labeled
+                preds = self._predict_ids(params, ids, batch)
+                x, y = self.scene.ids_to_xy(ids)
+                label_np1[x, y] = preds
+                label_np2[x, y] = preds
+            if cfg["color"]["unsupervised"]:
+                ids = self.split.unlabeled
+                preds = self._predict_ids(params, ids, batch)
+                x, y = self.scene.ids_to_xy(ids)
+                label_np2[x, y] = preds
         palette = jnp.asarray(
             cfg["DATA_DICT"][cfg["data_city"]]["color"], jnp.uint8)
         os.makedirs(cfg["RESULT_output"], exist_ok=True)

@@ -185,8 +185,12 @@ class TriPrograms(DualPrograms):
                 jnp.zeros((1, 4 * ps, 4 * ps, 1), jnp.float32))
 
     def _gather(self, scene_args, ids_b):
+        # Raw pallas_call has no SPMD partitioning rule: the fast path
+        # requires mesh=None (mesh runs use the XLA gather, which shards
+        # cleanly via the batch constraints).
         ids_b = shard_batch(self.mesh, ids_b)
-        if self.fast_gather and ids_b.shape[0] % 64 == 0:
+        if self.fast_gather and self.mesh is None \
+                and ids_b.shape[0] % 64 == 0:
             from dmfusion.ops.pallas_gather import gather_tri_fast
             parts = gather_tri_fast(scene_args[0], scene_args[1],
                                     scene_args[2], ids_b, self.width,
@@ -207,7 +211,8 @@ class SinglePrograms(DualPrograms):
 
     def _gather(self, scene_args, ids_b):
         ids_b = shard_batch(self.mesh, ids_b)
-        if self.fast_gather and ids_b.shape[0] % 64 == 0:
+        if self.fast_gather and self.mesh is None \
+                and ids_b.shape[0] % 64 == 0:
             from dmfusion.ops.pallas_gather import gather_one_fast
             out = gather_one_fast(scene_args[0], ids_b, self.width,
                                   self.patch)
@@ -215,6 +220,15 @@ class SinglePrograms(DualPrograms):
             x, y = ids_to_xy(ids_b, self.width)
             out = gather_windows(scene_args[0], x, y, self.patch)
         return (shard_batch(self.mesh, out),)
+
+
+def _get_shard_map():
+    try:
+        from jax import shard_map as _shard_map
+        return functools.partial(_shard_map, check_vma=False)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _shard_map
+        return functools.partial(_shard_map, check_rep=False)
 
 
 class DensePrograms(DualPrograms):
@@ -227,7 +241,65 @@ class DensePrograms(DualPrograms):
     recomputed under the current params and the train anchors' rows are
     gathered for the head+loss (~1-2 ms/step for image6-scale scenes).
     Eval/predict: ONE dense pass yields every pixel's logits.
+
+    With a mesh, train/eval/predict all switch to the spatially-sharded
+    band programs (scene-row axis over 'data' with a receptive-field
+    halo): each device computes features + summed-area table for its
+    band only, so city-scale dense *training* whose activations exceed
+    one chip's HBM splits across the mesh (SURVEY.md §2.3 SP/CP row).
     """
+
+    # -- band partition (shared by sharded train/eval/predict) -------------
+    def _band_plan(self, ms_rows: int, mesh: Mesh):
+        """Static per-mesh band geometry, or None when the scene is too
+        small to shard exactly (callers fall back to the unsharded path).
+
+        Every device's scene slice lies fully inside the real scene
+        (bands near the bottom are clamped upward rather than zero-padded
+        past it), so the model's SAME padding is applied only where the
+        unsharded pass also pads — results are bit-identical, not merely
+        close (the zero-pad scheme this replaces produced non-zero
+        boundary activations through conv bias + LayerNorm).
+        """
+        from dmfusion.models.dense_fusion import RECEPTIVE_RADIUS
+        ps = self.patch
+        h = ms_rows - ps + 1          # output map rows
+        data = mesh.shape["data"]
+        band = -(-h // data)          # output rows per device
+        halo = RECEPTIVE_RADIUS
+        need = band + ps - 1 + 2 * halo   # scene rows per device slice
+        if need > ms_rows or band > h:
+            return None
+        return h, data, band, halo, need
+
+    def _band_slices(self, plan, i, ms_rows):
+        """Per-device (out_start, s0, offset): first owned output row,
+        first scene row of the slice, and the kept-rows offset within the
+        slice's output. All clamps keep the slice inside the real scene;
+        exactness of rows [out_start, out_start+band) follows from the
+        halo >= receptive radius."""
+        h, data, band, halo, need = plan
+        out_start = jnp.minimum(i * band, h - band)
+        s0 = jnp.clip(out_start - halo, 0, ms_rows - need)
+        return out_start, s0, out_start - s0
+
+    @staticmethod
+    def _assemble_bands(stacked, plan):
+        """(data, band, ...) exact overlapping bands -> (h, ...).
+
+        Band i holds output rows [min(i*band, h-band), +band); overlaps
+        carry identical values, so later bands simply supersede the tail
+        of earlier ones. All of this is static Python slicing."""
+        h, data, band, _, _ = plan
+        pieces = []
+        prev_end = 0
+        for i in range(data):
+            s = min(i * band, h - band)
+            e = s + band
+            if e > prev_end:
+                pieces.append(stacked[i, prev_end - s:])
+                prev_end = e
+        return jnp.concatenate(pieces, axis=0)
 
     def init(self, rng: jax.Array):
         ps = self.patch
@@ -251,42 +323,86 @@ class DensePrograms(DualPrograms):
         return self.model.apply({"params": params}, scene_args[0],
                                 scene_args[1], self.patch)
 
-    def _train_epoch(self, params, opt_state, scene_args, ids, labels,
-                     mask):
-        # Remat happens per block *inside* the model (nn.remat in
-        # dense_fusion.setup); an outer jax.checkpoint here would both
-        # defeat it and fail to linearize the SAT pooling in jax 0.9.
-        # Training gathers the 4 summed-area-table corners per anchor
-        # rather than materializing the full (H, W, D) window-mean map —
-        # saves a scene-sized f32 tensor per step.
+    def _anchor_pooled_fn(self, scene_rows: int):
+        """Build the per-batch anchor->pooled-features function: the
+        unsharded whole-scene version, or — with a mesh — the spatially
+        sharded band version (each device computes features + SAT for its
+        scene band only; anchors are owned by the band containing their
+        window and combined with one ``psum``).
+
+        Both are end-to-end gradient-checkpointed (cumsum linearizes
+        under remat, unlike reduce_window): the backward recomputes band
+        features + SAT rather than storing scene-sized intermediates.
+        """
         ps = self.patch
         width = self.width
 
-        @jax.checkpoint
-        def anchor_pooled(p, s0, s1, ids_b):
-            # Checkpointed end to end (cumsum linearizes under remat,
-            # unlike reduce_window): the backward recomputes features+SAT
-            # rather than storing scene-sized cumsum intermediates.
-            feats = self.model.apply({"params": p}, s0, s1,
+        def window_rows(flat, w1, lx, y):
+            return (flat[(lx + ps) * w1 + (y + ps)]
+                    - flat[lx * w1 + (y + ps)]
+                    - flat[(lx + ps) * w1 + y]
+                    + flat[lx * w1 + y])
+
+        plan = (self._band_plan(scene_rows, self.mesh)
+                if self.mesh is not None else None)
+        if plan is None:
+            @jax.checkpoint
+            def anchor_pooled(p, s0, s1, ids_b):
+                feats = self.model.apply({"params": p}, s0, s1,
+                                         method=self.model.features)
+                sat = jnp.pad(feats.astype(jnp.float32),
+                              ((1, 0), (1, 0), (0, 0)))
+                sat = sat.cumsum(axis=0).cumsum(axis=1)
+                flat = sat.reshape(-1, sat.shape[-1])
+                win = window_rows(flat, sat.shape[1],
+                                  ids_b // width, ids_b % width)
+                return (win / jnp.float32(ps * ps)).astype(feats.dtype)
+            return anchor_pooled
+
+        from jax.sharding import PartitionSpec as P
+        h, data, band, halo, need = plan
+        shard_map = _get_shard_map()
+
+        def local(p, ms_l, pan_l, ids_b):
+            i = jax.lax.axis_index("data")
+            _, s0, _ = self._band_slices(plan, i, ms_l.shape[0])
+            band_ms = jax.lax.dynamic_slice_in_dim(ms_l, s0, need, 0)
+            band_pan = jax.lax.dynamic_slice_in_dim(pan_l, 4 * s0,
+                                                    4 * need, 0)
+            feats = self.model.apply({"params": p}, band_ms, band_pan,
                                      method=self.model.features)
             sat = jnp.pad(feats.astype(jnp.float32),
                           ((1, 0), (1, 0), (0, 0)))
             sat = sat.cumsum(axis=0).cumsum(axis=1)
-            d = sat.shape[-1]
-            w1 = sat.shape[1]
-            flat = sat.reshape(-1, d)
+            flat = sat.reshape(-1, sat.shape[-1])
             x = ids_b // width
             y = ids_b % width
-            win = (flat[(x + ps) * w1 + (y + ps)]
-                   - flat[x * w1 + (y + ps)]
-                   - flat[(x + ps) * w1 + y]
-                   + flat[x * w1 + y])
+            # Exclusive ownership: anchor row x belongs to the device
+            # whose output band [i*band, min((i+1)*band, h)) contains it;
+            # owned windows lie entirely in this device's exact rows.
+            own = (x >= i * band) & (x < jnp.minimum((i + 1) * band, h))
+            lx = jnp.clip(x - s0, 0, need - ps)
+            win = window_rows(flat, sat.shape[1], lx, y)
+            win = jnp.where(own[:, None], win, 0.0)
+            win = jax.lax.psum(win, "data")
             return (win / jnp.float32(ps * ps)).astype(feats.dtype)
+
+        sharded = shard_map(local, mesh=self.mesh,
+                            in_specs=(P(), P(), P(), P()), out_specs=P())
+        return jax.checkpoint(sharded)
+
+    def _train_epoch(self, params, opt_state, scene_args, ids, labels,
+                     mask):
+        # Remat happens per block *inside* the model (nn.remat in
+        # dense_fusion.setup); anchor_pooled is additionally checkpointed
+        # end to end.  Training gathers the 4 summed-area-table corners
+        # per anchor rather than materializing the full (H, W, D)
+        # window-mean map — saves a scene-sized f32 tensor per step.
+        anchor_pooled = self._anchor_pooled_fn(scene_args[0].shape[0])
 
         def body(carry, batch):
             params, opt_state = carry
             ids_b, labels_b, mask_b = batch
-            ids_b = shard_batch(self.mesh, ids_b)
 
             def lf(p):
                 feats = anchor_pooled(p, scene_args[0], scene_args[1],
@@ -303,8 +419,15 @@ class DensePrograms(DualPrograms):
             body, (params, opt_state), (ids, labels, mask))
         return params, opt_state, losses
 
+    def _full_logits_map(self, params, scene_args):
+        """One dense pass over the whole scene — spatially sharded over
+        the mesh 'data' axis when one exists."""
+        if self.mesh is not None:
+            return self.logits_map_sharded(params, scene_args, self.mesh)
+        return self._logits_map(params, scene_args)
+
     def _eval_epoch(self, params, scene_args, ids, labels, mask):
-        logits_map = self._logits_map(params, scene_args)
+        logits_map = self._full_logits_map(params, scene_args)
         c = logits_map.shape[-1]
         flat = logits_map.reshape(-1, c)
 
@@ -327,22 +450,30 @@ class DensePrograms(DualPrograms):
         return loss_sum, conf
 
     def _predict(self, params, scene_args, ids):
-        logits_map = self._logits_map(params, scene_args)
+        logits_map = self._full_logits_map(params, scene_args)
         pred_map = jnp.argmax(logits_map, axis=-1).astype(jnp.int32)
         return pred_map.reshape(-1)[ids]
 
     def predict_map(self, params, scene_args):
         """(H, W) argmax class map in one dense pass (the full-scene
-        color() workload with zero per-pixel work)."""
-        logits_map = self._logits_map(params, scene_args)
+        color() workload with zero per-pixel work); spatially sharded
+        when a mesh exists."""
+        logits_map = self._full_logits_map(params, scene_args)
         return jnp.argmax(logits_map, axis=-1).astype(jnp.int32)
 
-    def predict_map_sharded(self, params, scene_args, mesh):
-        """Spatially-sharded dense map: each device computes one
+    def predict_map_jitted(self):
+        """Cached jitted predict_map (one compile per program instance)."""
+        if not hasattr(self, "_predict_map_jit"):
+            self._predict_map_jit = jax.jit(self.predict_map)
+        return self._predict_map_jit
+
+    def logits_map_sharded(self, params, scene_args, mesh):
+        """Spatially-sharded dense logits map: each device computes one
         horizontal band of the scene (rows split over the mesh 'data'
-        axis) with a halo of ``RECEPTIVE_RADIUS`` extra rows, so results
-        are exactly identical to the single-device pass (the dense model
-        uses only per-pixel normalization — models/dense_fusion.py).
+        axis) with a ``RECEPTIVE_RADIUS`` halo.  Band slices are clamped
+        to lie inside the real scene (see ``_band_plan``), so results are
+        bit-identical to the single-device pass (the dense model uses
+        only per-pixel normalization — models/dense_fusion.py).
 
         This is the scene-pixel-axis parallelism plan of SURVEY.md §2.3
         realized for the dense family: city-scale scenes whose dense
@@ -351,47 +482,33 @@ class DensePrograms(DualPrograms):
         up-front halo exchange).
         """
         from jax.sharding import PartitionSpec as P
-        from dmfusion.models.dense_fusion import RECEPTIVE_RADIUS
-        try:
-            from jax import shard_map as _shard_map
-            shard_map = functools.partial(_shard_map, check_vma=False)
-        except ImportError:
-            from jax.experimental.shard_map import shard_map as _shard_map
-            shard_map = functools.partial(_shard_map, check_rep=False)
-
         ms, pan = scene_args[0], scene_args[1]
-        pan = pan if pan.ndim == 2 else pan[..., 0]
+        plan = self._band_plan(ms.shape[0], mesh)
+        if plan is None:  # scene too small to band-shard exactly
+            return self._logits_map(params, scene_args)
+        h, data, band, halo, need = plan
         ps = self.patch
-        h = ms.shape[0] - ps + 1      # output map rows
-        w = ms.shape[1] - ps + 1
-        data = mesh.shape["data"]
-        band = -(-h // data)          # output rows per device
-        halo = RECEPTIVE_RADIUS
-        # Scene rows needed for `band` output rows.
-        need = band + ps - 1 + 2 * halo
-        # Zero-pad the bottom so every band slice is in bounds; explicit
-        # zero rows are indistinguishable from the SAME-conv zero padding
-        # the unsharded pass sees, so results stay bit-identical.
-        pad_r = (data - 1) * band - halo + need - ms.shape[0]
-        if pad_r > 0:
-            ms = jnp.pad(ms, ((0, pad_r), (0, 0), (0, 0)))
-            pan = jnp.pad(pan, ((0, 4 * pad_r), (0, 0)))
+        shard_map = _get_shard_map()
 
         def local(p, ms_l, pan_l):
             i = jax.lax.axis_index("data")
-            start = i * band          # first output row of this device
-            s0 = jnp.maximum(start - halo, 0)
+            _, s0, offset = self._band_slices(plan, i, ms_l.shape[0])
             band_ms = jax.lax.dynamic_slice_in_dim(ms_l, s0, need, 0)
-            band_pan = jax.lax.dynamic_slice_in_dim(pan_l, 4 * s0, 4 * need,
-                                                    0)
+            band_pan = jax.lax.dynamic_slice_in_dim(pan_l, 4 * s0,
+                                                    4 * need, 0)
             logits = self.model.apply({"params": p}, band_ms, band_pan, ps)
-            out = jax.lax.dynamic_slice_in_dim(logits, start - s0, band, 0)
-            return jnp.argmax(out, axis=-1).astype(jnp.int32)[None]
+            return jax.lax.dynamic_slice_in_dim(logits, offset, band,
+                                                0)[None]
 
         fn = shard_map(local, mesh=mesh, in_specs=(P(), P(), P()),
                        out_specs=P("data"))
-        stacked = fn(params, ms, pan)          # (data, band, W)
-        return stacked.reshape(data * band, -1)[:h, :w]
+        stacked = fn(params, ms, pan)          # (data, band, W, C)
+        return self._assemble_bands(stacked, plan)
+
+    def predict_map_sharded(self, params, scene_args, mesh):
+        """(H, W) argmax map from the spatially-sharded dense pass."""
+        logits = self.logits_map_sharded(params, scene_args, mesh)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
 class QuadPrograms(DualPrograms):
@@ -409,7 +526,8 @@ class QuadPrograms(DualPrograms):
 
     def _gather(self, scene_args, ids_b):
         ids_b = shard_batch(self.mesh, ids_b)
-        if self.fast_gather and ids_b.shape[0] % 64 == 0:
+        if self.fast_gather and self.mesh is None \
+                and ids_b.shape[0] % 64 == 0:
             from dmfusion.ops.pallas_gather import gather_quad_fast
             parts = gather_quad_fast(*scene_args, ids_b, self.width,
                                      self.patch)
@@ -418,12 +536,12 @@ class QuadPrograms(DualPrograms):
         return (jnp.concatenate(parts, axis=0),)
 
     def _batch_loss(self, params, inputs, labels_b, mask_b):
-        # qua_loss is a batch-level KL composite with no per-sample form;
-        # the solver trims the train set to a batch multiple instead of
-        # masking (documented divergence).
+        # qua_loss is a batch-level KL composite; padded rows are
+        # excluded via its mask argument (the solver additionally trims
+        # the train set to a batch multiple, so train masks are all-ones).
         bs = labels_b.shape[0]
         return self.loss_fn(self.apply(params, *inputs), bs, labels_b,
-                            self.cfg)
+                            self.cfg, mask_b)
 
     def _batch_pred(self, params, inputs, bs):
         logits = self.apply(params, *inputs)
@@ -431,7 +549,9 @@ class QuadPrograms(DualPrograms):
         return jnp.argmax(fused, axis=-1).astype(jnp.int32)
 
     def _eval_loss_sum(self, params, inputs, labels_b, mask_b):
+        # Masked batch-means x valid count: padded anchors contribute
+        # nothing to the reported val loss (VERDICT r1 weak #6).
         bs = labels_b.shape[0]
         loss = self.loss_fn(self.apply(params, *inputs), bs, labels_b,
-                            self.cfg)
+                            self.cfg, mask_b)
         return loss * mask_b.sum()

@@ -65,6 +65,29 @@ def test_sharded_train_step_matches_single_device(small_cfg, small_scene):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+def test_maybe_initialize_distributed_noop():
+    """Single-process default: flag unset -> no-op; flag set without a
+    coordinator env degrades gracefully (warns, returns False) rather
+    than crashing — the multi-host entry point of SURVEY §2.3."""
+    import subprocess
+    import sys
+    from dmfusion.parallel.mesh import maybe_initialize_distributed
+    assert maybe_initialize_distributed({"mesh": {"distributed": 0}}) is False
+    assert maybe_initialize_distributed(None) is False
+    # The flag path runs in a subprocess so a successful (or failed)
+    # jax.distributed init can't leak into this suite's runtime.
+    code = (
+        "import warnings; warnings.simplefilter('ignore');"
+        "from dmfusion.parallel.mesh import maybe_initialize_distributed;"
+        "out = maybe_initialize_distributed({'mesh': {'distributed': 1}});"
+        "assert out in (True, False); print('ok', out)")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=240,
+                       env={**__import__('os').environ,
+                            "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0 and "ok" in r.stdout, r.stderr[-800:]
+
+
 def test_graft_dryrun_8dev():
     import __graft_entry__ as g
     g.dryrun_multichip(8)  # asserts internally on finite loss
