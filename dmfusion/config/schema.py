@@ -121,6 +121,7 @@ DEFAULTS: dict[str, Any] = {
     "FILE_NUM": 0,
     "index": 0,
     "data_city": "image6",
+    "gmfnet_pan": "s2d",       # gmfnet PAN branch: "s2d" | "pyramid"
     "use_h5": False,
     "patch_size": 16,
     "Categories_Number": 0,    # derived from palette length when 0

@@ -146,10 +146,18 @@ def load_scene(cfg: Mapping[str, Any]) -> Scene:
     else:
         return synthetic_scene(cfg)
     h, w = label.shape
-    ms_n = pad_scene(minmax_normalize(jnp.asarray(ms)), ps)
-    pan_n = pad_scene(minmax_normalize(jnp.asarray(pan)), 4 * ps)
+    sdt = _scene_dtype(cfg)
+    ms_n = pad_scene(minmax_normalize(jnp.asarray(ms)), ps).astype(sdt)
+    pan_n = pad_scene(minmax_normalize(jnp.asarray(pan)), 4 * ps).astype(sdt)
     return Scene(ms=ms_n, pan=pan_n, label=label, height=h, width=w,
                  patch=ps, raw_ms=ms, raw_pan=pan)
+
+
+def _scene_dtype(cfg: Mapping[str, Any]):
+    """HBM scene storage dtype (``precision.scene_dtype``): float32 by
+    default (bit-exact gathers for parity tests); bfloat16 halves scene
+    HBM traffic for ~5% faster full-scene inference (BENCH_NOTES.md)."""
+    return jnp.dtype(cfg.get("precision", {}).get("scene_dtype", "float32"))
 
 
 def _find(data_dir: str, stem: str) -> str:
@@ -193,7 +201,8 @@ def synthetic_scene(cfg: Mapping[str, Any], seed: int | None = None) -> Scene:
     pan = np.repeat(np.repeat(lum, 4, axis=0), 4, axis=1)
     pan = pan + 0.25 * rng.standard_normal(pan.shape).astype(np.float32)
 
-    ms_n = pad_scene(minmax_normalize(jnp.asarray(ms)), ps)
-    pan_n = pad_scene(minmax_normalize(jnp.asarray(pan)), 4 * ps)
+    sdt = _scene_dtype(cfg)
+    ms_n = pad_scene(minmax_normalize(jnp.asarray(ms)), ps).astype(sdt)
+    pan_n = pad_scene(minmax_normalize(jnp.asarray(pan)), 4 * ps).astype(sdt)
     return Scene(ms=ms_n, pan=pan_n, label=label, height=h, width=w,
                  patch=ps, raw_ms=ms, raw_pan=pan)

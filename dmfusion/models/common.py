@@ -123,3 +123,30 @@ class PanPyramid(nn.Module):
         for f in self.features:
             x = ConvBlock(f, 3, 2, self.act, self.dtype, self.param_dtype)(x)
         return x
+
+
+class PanSpaceToDepth(nn.Module):
+    """4x space-to-depth + stride-1 convs at MS resolution.
+
+    Same role as :class:`PanPyramid` (fold the 4x PAN window down to the
+    MS grid) but it never feeds a C=1 tensor to a strided conv — a
+    single-channel NHWC input draws the TPU's (2, 128)-tiled layout,
+    which pads the channel dim 256x.  Reshaping the 4x4 neighborhood
+    into 16 channels first keeps every conv MXU-shaped; measured +8%
+    end-to-end on the patchwise flagship (BENCH_NOTES.md round-1 leads).
+    """
+
+    features: Sequence[int] = (32, 64)
+    act: Callable = nn.relu
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pan: jnp.ndarray) -> jnp.ndarray:
+        b, h4, w4, c = pan.shape
+        x = pan.reshape(b, h4 // 4, 4, w4 // 4, 4, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h4 // 4, w4 // 4,
+                                                  16 * c)
+        for f in self.features:
+            x = ConvBlock(f, 3, 1, self.act, self.dtype, self.param_dtype)(x)
+        return x

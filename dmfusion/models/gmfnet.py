@@ -21,7 +21,8 @@ from typing import Any, Mapping
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dmfusion.models.common import (ConvBlock, MLPHead, PanPyramid, ResBlock,
+from dmfusion.models.common import (ConvBlock, MLPHead, PanPyramid,
+                                    PanSpaceToDepth, ResBlock,
                                     activation_fn, dtypes)
 from dmfusion.models.registry import register
 
@@ -44,8 +45,13 @@ class Net(nn.Module):
         h_ms = ConvBlock(w // 2, 3, 1, act, dtype, pdtype)(ms)
         h_ms = ResBlock(w, 1, act, dtype, pdtype)(h_ms)
 
-        # PAN branch: 4ps x 4ps x 1 -> ps x ps x w (two stride-2 stages).
-        h_pan = PanPyramid((w // 2, w), act, dtype, pdtype)(pan)
+        # PAN branch: 4ps x 4ps x 1 -> ps x ps x w.  Default is the 4x
+        # space-to-depth variant (+8% end-to-end, BENCH_NOTES.md);
+        # cfg 'gmfnet_pan: pyramid' selects the strided-conv pyramid.
+        if str(cfg.get("gmfnet_pan", "s2d")) == "pyramid":
+            h_pan = PanPyramid((w // 2, w), act, dtype, pdtype)(pan)
+        else:
+            h_pan = PanSpaceToDepth((w // 2, w), act, dtype, pdtype)(pan)
         h_pan = ResBlock(w, 1, act, dtype, pdtype)(h_pan)
 
         # Gated fusion at matched resolution.

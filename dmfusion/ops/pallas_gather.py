@@ -34,28 +34,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROW_ALIGN = 8
 _LANE_ALIGN = 128
 
 
-def _extents(patch: int, chans: int) -> tuple[int, int]:
-    rows = patch + _ROW_ALIGN
+def _row_align(dtype) -> int:
+    """Mosaic sublane tiling by element width: (8,128) f32, (16,128)
+    bf16, (32,128) int8 — HBM slice offsets must hit these boundaries."""
+    return {4: 8, 2: 16, 1: 32}[jnp.dtype(dtype).itemsize]
+
+
+def _extents(patch: int, chans: int, row_align: int) -> tuple[int, int]:
+    rows = patch + row_align
     win = patch * chans
     lanes = -(-(win + _LANE_ALIGN) // _LANE_ALIGN) * _LANE_ALIGN
     return rows, lanes
 
 
-def _block_copy_kernel(patch: int, chans: int, group: int,
+def _block_copy_kernel(patch: int, chans: int, group: int, row_align: int,
                        xs_ref, ys_ref, scene_ref, out_ref, sems):
     """DMA ``group`` aligned blocks from the HBM scene into the VMEM
     output block: out[k] = scene[r0_k : r0_k+rows, c0_k : c0_k+lanes]."""
     i = pl.program_id(0)
-    rows, lanes = _extents(patch, chans)
+    rows, lanes = _extents(patch, chans, row_align)
 
     def dma(k):
         x = xs_ref[i * group + k]
         yc = ys_ref[i * group + k] * chans
-        r0 = pl.multiple_of((x // _ROW_ALIGN) * _ROW_ALIGN, _ROW_ALIGN)
+        r0 = pl.multiple_of((x // row_align) * row_align, row_align)
         c0 = pl.multiple_of((yc // _LANE_ALIGN) * _LANE_ALIGN, _LANE_ALIGN)
         return pltpu.make_async_copy(
             scene_ref.at[pl.ds(r0, rows), pl.ds(c0, lanes)],
@@ -90,14 +95,16 @@ def gather_windows_pallas(scene2d: jnp.ndarray, xs: jnp.ndarray,
     b = xs.shape[0]
     assert b % group == 0, (b, group)
     chans = scene2d.shape[1] // width
-    rows, lanes = _extents(patch, chans)
+    row_align = _row_align(scene2d.dtype)
+    rows, lanes = _extents(patch, chans, row_align)
     win = patch * chans
     # Pad so every aligned block is in bounds (loop-invariant; XLA hoists
     # it out of the caller's scan).
     scene2d = jnp.pad(scene2d, ((0, rows), (0, lanes)))
 
     blocks = pl.pallas_call(
-        functools.partial(_block_copy_kernel, patch, chans, group),
+        functools.partial(_block_copy_kernel, patch, chans, group,
+                          row_align),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,  # xs, ys
             grid=(b // group,),
@@ -113,7 +120,7 @@ def gather_windows_pallas(scene2d: jnp.ndarray, xs: jnp.ndarray,
     )(xs, ys, scene2d)
 
     # Exact-window extraction as one-hot selection matmuls (MXU).
-    dr = (xs % _ROW_ALIGN).astype(jnp.int32)
+    dr = (xs % row_align).astype(jnp.int32)
     dc = ((ys * chans) % _LANE_ALIGN).astype(jnp.int32)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (b, patch, rows), 2)
     row_tgt = dr[:, None, None] + jax.lax.broadcasted_iota(
@@ -207,19 +214,17 @@ def gather_dual_fast(ms: jnp.ndarray, pan: jnp.ndarray, ids: jnp.ndarray,
     return ms_p, pan_p
 
 
-def _pick_group(per_shard: int) -> int:
-    group = 64
-    while group > 1 and per_shard % group:
-        group //= 2
-    return group
-
-
 def gather_dual_sharded(ms, pan, ids, width: int, patch: int, mesh,
                         interpret: bool = False):
     """SPMD version: anchors shard over the mesh 'data' axis, the scene
     replicates, and each device runs the Pallas DMA gather on its local
     shard — the multi-chip full-scene inference path (the scene-pixel
-    axis is this workload's "sequence" dimension; SURVEY.md §2.3)."""
+    axis is this workload's "sequence" dimension; SURVEY.md §2.3).
+
+    Per-shard anchor counts are padded up to a multiple of the DMA group
+    (64) so the kernel always pipelines full groups — round 1 silently
+    degraded odd shard sizes to per-patch DMA (group=1) instead.
+    """
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map as _shard_map
@@ -229,8 +234,12 @@ def gather_dual_sharded(ms, pan, ids, width: int, patch: int, mesh,
         shard_map = functools.partial(_shard_map, check_rep=False)
 
     data = mesh.shape["data"]
-    per_shard = ids.shape[0] // data
-    group = _pick_group(per_shard)
+    b = ids.shape[0]
+    group = 64
+    per_shard = -(-(b // data) // group) * group
+    pad = per_shard * data - b
+    ids_padded = jnp.concatenate([ids, jnp.broadcast_to(ids[:1], (pad,))]) \
+        if pad else ids
 
     def local(ms_l, pan_l, ids_l):
         return gather_dual_fast(ms_l, pan_l, ids_l, width, patch,
@@ -239,4 +248,5 @@ def gather_dual_sharded(ms, pan, ids, width: int, patch: int, mesh,
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(), P(), P("data")),
                    out_specs=(P("data"), P("data")))
-    return fn(ms, pan, ids)
+    ms_p, pan_p = fn(ms, pan, ids_padded)
+    return (ms_p[:b], pan_p[:b]) if pad else (ms_p, pan_p)

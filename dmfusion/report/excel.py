@@ -259,3 +259,35 @@ def expo_result(result: list, cfg: Mapping[str, Any], times: list,
         _dump_dict(cfg, config_sheet, 1, 1)
     wb.save(savepath)
     return savepath
+
+
+STREAM_NAMES = ("MS", "PAN", "GM", "GP")
+
+
+def expo_stream_results(results: list, cfg: Mapping[str, Any],
+                        group_num: int) -> str:
+    """Append the 4 per-stream OA/AA/kappa rows for one repeat to a
+    'streams' sheet (reference ``indicator_SCLN`` capability,
+    indicators/kappa.py:211-213: each DQTL stream scored independently).
+
+    ``results`` is a list of 4 ``aa_oa`` outputs in STREAM_NAMES order.
+    """
+    savepath = cfg["RESULT_excel"]
+    wb = Workbook.load(savepath) if os.path.exists(savepath) else Workbook()
+    try:
+        sheet = wb["streams"]
+    except KeyError:
+        sheet = wb.create_sheet("streams")
+    base = group_num * (len(STREAM_NAMES) + 2)
+    sheet.cell(base + 1, 1, f"repeat {group_num}")
+    sheet.cell(base + 1, 2, "OA")
+    sheet.cell(base + 1, 3, "AA")
+    sheet.cell(base + 1, 4, "KAPPA")
+    for i, (name, res) in enumerate(zip(STREAM_NAMES, results)):
+        aa, oa, k, _rows = res
+        sheet.cell(base + 2 + i, 1, name)
+        sheet.cell(base + 2 + i, 2, oa)
+        sheet.cell(base + 2 + i, 3, aa)
+        sheet.cell(base + 2 + i, 4, k)
+    wb.save(savepath)
+    return savepath

@@ -127,6 +127,11 @@ class TwoStageSolver(Solver):
             self.gan_state, out = self.gan_programs.train_epoch(
                 self.gan_state, m_b, p_b, keys)
             last = out
+            if epoch == 0 or epoch % 20 == 19:
+                # GAN sample dumps — the primary debugging instrument
+                # for a GAN (reference tostagesolver.py:160-166 saves
+                # rendered tiles on epoch 0 and every 20th).
+                self._save_gan_samples(epoch, out, m_b, p_b)
             if not cfg.get("nohup"):
                 print(f"[stage1] epoch {epoch} "
                       f"d_loss {float(out['d_loss'][-1]):.4f} "
@@ -147,6 +152,34 @@ class TwoStageSolver(Solver):
         self.pan_gan = tiles_to_scene(fm, rows, cols, size)
         np.save(os.path.join(self._weights_dir(), "msgan.npy"), self.ms_gan)
         np.save(os.path.join(self._weights_dir(), "pangan.npy"), self.pan_gan)
+        # Full-scene renders of the reassembled fakes (reference
+        # tostagesolver.py:228-231 'fake_ms.png' / 'fake_pan.png').
+        from PIL import Image
+        from dmfusion.ops.image import render_tensor
+        for name, arr in (("fake_ms.png", self.ms_gan),
+                          ("fake_pan.png", self.pan_gan)):
+            img = render_tensor(np.asarray(arr).transpose(2, 0, 1))
+            Image.fromarray(img).save(os.path.join(self._weights_dir(),
+                                                   name))
+
+    def _save_gan_samples(self, epoch: int, out, m_b, p_b) -> None:
+        """Sample-tile grids: fakes + the real tiles they imitate."""
+        from dmfusion.report.viz import save_image_grid
+        sample_dir = os.path.join(self._weights_dir(), "saved_images")
+        os.makedirs(sample_dir, exist_ok=True)
+
+        def norm(x):
+            x = np.asarray(x[0][:8], np.float32)  # first batch, <=8 tiles
+            lo, hi = x.min(), x.max()
+            return (x - lo) / (hi - lo + 1e-12)
+
+        save_image_grid(norm(out["fake_pan"]),
+                        os.path.join(sample_dir, f"f_p_{epoch}.png"))
+        save_image_grid(norm(out["fake_ms"]),
+                        os.path.join(sample_dir, f"f_m_{epoch}.png"))
+        if epoch == 0:
+            save_image_grid(norm(p_b), os.path.join(sample_dir, "p.png"))
+            save_image_grid(norm(m_b), os.path.join(sample_dir, "m.png"))
 
     # -- stage 2 -----------------------------------------------------------
     def train_stage2_setup(self) -> None:
@@ -255,11 +288,26 @@ class TwoStageSolver(Solver):
         ids, labels, mask, _ = self.batches(self.split.test,
                                             cfg["test_batchsize"],
                                             round_to=64)
-        _, conf = self.programs.eval_epoch(params, self.scene_args, ids,
-                                           labels, mask.astype(jnp.float32))
-        self.test_matrix = np.asarray(conf)
+        _, confs = self.programs.eval_epoch(params, self.scene_args, ids,
+                                            labels,
+                                            mask.astype(jnp.float32))
+        confs = np.asarray(confs)          # (5, C, C)
+        self.test_matrix = confs[0]        # fused logit-sum prediction
+        self.stream_matrices = confs[1:]   # M / P / GM / GP independently
         self.test_time = self.now() - t0
         self.indicator()
+
+    def indicator(self) -> None:
+        """Fused-prediction block (base behavior) + per-stream OA/AA/
+        kappa sheet (reference indicator_SCLN capability,
+        indicators/kappa.py:211-213)."""
+        super().indicator()
+        if getattr(self, "stream_matrices", None) is not None:
+            from dmfusion.ops.metrics import per_stream_results
+            from dmfusion.report.excel import expo_stream_results
+            results = per_stream_results(list(self.stream_matrices))
+            expo_stream_results(results, self.cfg, self.time)
+            self.stream_results = results
 
     def run(self) -> None:
         """Stage-2 setup once, then the standard repeat loop

