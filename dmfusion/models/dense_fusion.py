@@ -41,7 +41,8 @@ class LocalConvBlock(nn.Module):
     ConvNeXt-style per-pixel normalization instead of GroupNorm: the
     statistics have zero spatial extent, so dense features are exactly
     *local* — band-sharded inference (spatial parallelism with halo)
-    produces bit-identical results to the single-device pass.
+    reproduces the single-device features bit-identically (only the
+    downstream window-pooling SAT rounds differently; see window_mean).
     """
 
     features: int
@@ -84,39 +85,40 @@ class LocalResBlock(nn.Module):
 RECEPTIVE_RADIUS = 7
 
 
-def column_window_sums(feats: jnp.ndarray, patch: int) -> jnp.ndarray:
-    """(H', W', D) -> (H', W, D) f32 per-row horizontal window sums via a
-    column-direction summed-area table (one cumsum + two lookups).
-
-    Row-local by construction: row r of the result depends only on row r
-    of ``feats``.  That property is what makes spatial (scene-row) band
-    sharding *bit-exact* — a global 2-D SAT would make every window sum
-    depend on the full row prefix, whose f32 rounding differs between a
-    band slice and the whole scene.  Accumulation in f32: a bf16 cumsum
-    over thousands of columns would lose the window differences.
-    """
-    s = jnp.pad(feats.astype(jnp.float32), ((0, 0), (1, 0), (0, 0)))
-    s = s.cumsum(axis=1)
-    return s[:, patch:] - s[:, :-patch]
-
-
 def window_mean(feats: jnp.ndarray, patch: int) -> jnp.ndarray:
-    """(H', W', D) -> (H, W, D): mean over every patch x patch window.
+    """(H', W', D) -> (H, W, D): mean over every patch x patch window via
+    a summed-area table (two cumsums + four lookups).
 
-    Column direction uses the cumsum trick (column_window_sums); the row
-    direction is a statically-unrolled chain of ``patch`` adds in fixed
-    left-to-right order, so output row x is a pure function of feature
-    rows [x, x+patch) — identical whether computed over the full scene
-    or a row band (bit-exact spatial sharding), and everything
-    linearizes under jax.checkpoint (jax 0.9 cannot
-    reverse-differentiate ``lax.reduce_window`` through remat).
+    O(1) work per window instead of reduce_window's patch^2 adds, and —
+    unlike ``lax.reduce_window`` — it linearizes under jax.checkpoint
+    (jax 0.9 cannot reverse-differentiate reduce_window through remat).
+    Accumulation in f32: a bf16 cumsum over thousands of rows would lose
+    the window differences entirely.
+
+    Banding note: under row-band sharding the band pass computes the SAT
+    over its own rows, so window sums agree with the full pass
+    *mathematically* but with a different f32 summation association —
+    measured logits deltas are ~1e-6 (vs the 0.12-class errors of an
+    actual boundary bug).  Row-local alternatives (unrolled adds,
+    segment-anchored prefixes) were measured 45 ms slower per image6
+    pass (+18%), so bit-identity across band counts was deliberately
+    traded for speed; see BENCH_NOTES.md.
     """
-    colwin = column_window_sums(feats, patch)
-    h = feats.shape[0] - patch + 1
-    acc = colwin[0:h]
-    for i in range(1, patch):
-        acc = acc + colwin[i:i + h]
-    return (acc / jnp.float32(patch * patch)).astype(feats.dtype)
+    s = jnp.pad(feats.astype(jnp.float32), ((1, 0), (1, 0), (0, 0)))
+    s = s.cumsum(axis=0).cumsum(axis=1)
+    win = (s[patch:, patch:] - s[:-patch, patch:] - s[patch:, :-patch]
+           + s[:-patch, :-patch])
+    return (win / jnp.float32(patch * patch)).astype(feats.dtype)
+
+
+def sat_window_sums(feats: jnp.ndarray, patch: int
+                    ) -> tuple[jnp.ndarray, int]:
+    """Flattened SAT + row stride for per-anchor window-sum gathers:
+    win(x, y) = flat[(x+ps)*w1 + y+ps] - flat[x*w1 + y+ps]
+              - flat[(x+ps)*w1 + y] + flat[x*w1 + y]."""
+    s = jnp.pad(feats.astype(jnp.float32), ((1, 0), (1, 0), (0, 0)))
+    s = s.cumsum(axis=0).cumsum(axis=1)
+    return s.reshape(-1, s.shape[-1]), s.shape[1]
 
 
 class Net(nn.Module):

@@ -251,14 +251,20 @@ class DensePrograms(DualPrograms):
     # -- band partition (shared by sharded train/eval/predict) -------------
     def _band_plan(self, ms_rows: int, mesh: Mesh):
         """Static per-mesh band geometry, or None when the scene is too
-        small to shard exactly (callers fall back to the unsharded path).
+        small to band-shard (callers fall back to the unsharded path).
 
         Every device's scene slice lies fully inside the real scene
         (bands near the bottom are clamped upward rather than zero-padded
         past it), so the model's SAME padding is applied only where the
-        unsharded pass also pads — results are bit-identical, not merely
-        close (the zero-pad scheme this replaces produced non-zero
-        boundary activations through conv bias + LayerNorm).
+        unsharded pass also pads — the zero-pad scheme this replaces
+        produced genuinely wrong boundary activations (conv bias +
+        LayerNorm on fake zero rows; logits off by up to 0.12).  With
+        clamping, band results match the full pass mathematically; the
+        only residual difference is the window-pooling SAT's f32
+        summation association (~1e-6 logits — see
+        models/dense_fusion.py::window_mean), which the conv features
+        themselves do not exhibit (measured bit-identical across band
+        shapes).
         """
         from dmfusion.models.dense_fusion import RECEPTIVE_RADIUS
         ps = self.patch
@@ -273,10 +279,10 @@ class DensePrograms(DualPrograms):
 
     def _band_slices(self, plan, i, ms_rows):
         """Per-device (out_start, s0, offset): first owned output row,
-        first scene row of the slice, and the kept-rows offset within the
-        slice's output. All clamps keep the slice inside the real scene;
-        exactness of rows [out_start, out_start+band) follows from the
-        halo >= receptive radius."""
+        first scene row of the slice, and the kept-rows offset within
+        the slice's output. All clamps keep the slice inside the real
+        scene; correctness of rows [out_start, out_start+band) follows
+        from halo >= receptive radius."""
         h, data, band, halo, need = plan
         out_start = jnp.minimum(i * band, h - band)
         s0 = jnp.clip(out_start - halo, 0, ms_rows - need)
@@ -335,8 +341,9 @@ class DensePrograms(DualPrograms):
         """
         ps = self.patch
         width = self.width
+        from dmfusion.models.dense_fusion import sat_window_sums
 
-        def window_rows(flat, w1, lx, y):
+        def corners(flat, w1, lx, y):
             return (flat[(lx + ps) * w1 + (y + ps)]
                     - flat[lx * w1 + (y + ps)]
                     - flat[(lx + ps) * w1 + y]
@@ -349,12 +356,8 @@ class DensePrograms(DualPrograms):
             def anchor_pooled(p, s0, s1, ids_b):
                 feats = self.model.apply({"params": p}, s0, s1,
                                          method=self.model.features)
-                sat = jnp.pad(feats.astype(jnp.float32),
-                              ((1, 0), (1, 0), (0, 0)))
-                sat = sat.cumsum(axis=0).cumsum(axis=1)
-                flat = sat.reshape(-1, sat.shape[-1])
-                win = window_rows(flat, sat.shape[1],
-                                  ids_b // width, ids_b % width)
+                flat, w1 = sat_window_sums(feats, ps)
+                win = corners(flat, w1, ids_b // width, ids_b % width)
                 return (win / jnp.float32(ps * ps)).astype(feats.dtype)
             return anchor_pooled
 
@@ -370,10 +373,7 @@ class DensePrograms(DualPrograms):
                                                     4 * need, 0)
             feats = self.model.apply({"params": p}, band_ms, band_pan,
                                      method=self.model.features)
-            sat = jnp.pad(feats.astype(jnp.float32),
-                          ((1, 0), (1, 0), (0, 0)))
-            sat = sat.cumsum(axis=0).cumsum(axis=1)
-            flat = sat.reshape(-1, sat.shape[-1])
+            flat, w1 = sat_window_sums(feats, ps)
             x = ids_b // width
             y = ids_b % width
             # Exclusive ownership: anchor row x belongs to the device
@@ -381,7 +381,7 @@ class DensePrograms(DualPrograms):
             # owned windows lie entirely in this device's exact rows.
             own = (x >= i * band) & (x < jnp.minimum((i + 1) * band, h))
             lx = jnp.clip(x - s0, 0, need - ps)
-            win = window_rows(flat, sat.shape[1], lx, y)
+            win = corners(flat, w1, lx, y)
             win = jnp.where(own[:, None], win, 0.0)
             win = jax.lax.psum(win, "data")
             return (win / jnp.float32(ps * ps)).astype(feats.dtype)
@@ -470,9 +470,10 @@ class DensePrograms(DualPrograms):
         """Spatially-sharded dense logits map: each device computes one
         horizontal band of the scene (rows split over the mesh 'data'
         axis) with a ``RECEPTIVE_RADIUS`` halo.  Band slices are clamped
-        to lie inside the real scene (see ``_band_plan``), so results are
-        bit-identical to the single-device pass (the dense model uses
-        only per-pixel normalization — models/dense_fusion.py).
+        to lie inside the real scene (see ``_band_plan``), so results
+        match the single-device pass to SAT-rounding precision (~1e-6
+        logits; the dense model uses only per-pixel normalization —
+        models/dense_fusion.py).
 
         This is the scene-pixel-axis parallelism plan of SURVEY.md §2.3
         realized for the dense family: city-scale scenes whose dense
