@@ -92,9 +92,3 @@ def shard_batch(mesh: Mesh | None, x):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
-def device_put_batched(mesh: Mesh | None, x):
-    """Place a host array with batch-axis sharding (or default placement)."""
-    if mesh is None:
-        return jax.device_put(x)
-    import jax.numpy as jnp
-    return jax.device_put(jnp.asarray(x), batch_sharding(mesh, np.ndim(x)))

@@ -62,6 +62,11 @@ class BaseSolver:
         self.scene: Scene = load_scene(cfg)
         self.labels_flat = self.scene.label.reshape(-1).astype(np.int32)
         self.labeled_ids, self.unlabeled_ids = split_labels(self.scene.label)
+        if not cfg.get("nohup"):
+            # Dataset statistics print at scene load (reference
+            # data_show, function/function.py:127-133).
+            from dmfusion.utils import data_show
+            data_show(self.scene.label)
 
         self.masked_split = None
         if cfg.get("data_new"):

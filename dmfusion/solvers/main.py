@@ -101,6 +101,13 @@ class Solver(BaseSolver):
             self.mesh, loss_fn)
         rng = jax.random.PRNGKey(int(cfg["seed"]) + int(self.time))
         self.params, self.opt_state = self.programs.init(rng)
+        if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
+            # TP: column-shard eligible kernels over 'model'
+            # (parallel/partition.py); optimizer state replicates.
+            from dmfusion.parallel.partition import (replicate_tree,
+                                                     shard_params)
+            self.params = shard_params(self.params, self.mesh)
+            self.opt_state = replicate_tree(self.opt_state, self.mesh)
 
     # -- phases ------------------------------------------------------------
     def train(self) -> None:
