@@ -5,10 +5,12 @@ reference (and the parity models here) classify each pixel by cropping a
 16x16/64x64 window and running a CNN per window — for full-scene maps
 that is ~4.2M nearly-identical forwards (~800 TFLOP for image6).  This
 model instead computes ONE dense feature map over the whole HBM-resident
-scene (stride-1 convs at MS resolution, PAN folded down 4x), mean-pools
-it over every ps x ps anchor window in a single VALID ``reduce_window``,
-and applies a 1x1 head — every pixel's logits in one pass (~0.2 TFLOP,
-a ~4000x FLOP reduction for full-scene inference).
+scene (a half-resolution 4x-channel trunk — the MXU-lane-optimal layout,
+see BENCH_NOTES.md — with both modalities space-to-depth-packed onto the
+trunk grid, depth-to-space back plus a full-res refine conv), mean-pools
+it over every ps x ps anchor window via a summed-area table, and applies
+a 1x1 head — every pixel's logits in one pass (a ~4000x FLOP reduction
+vs per-window forwards for full-scene inference).
 
 Training uses the same dense program: features over the scene (gradient
 checkpointed), pooled-feature rows gathered at the train anchors, head +
@@ -80,9 +82,26 @@ class LocalResBlock(nn.Module):
         return self.act(y + sc)
 
 
-# Receptive radius of features(): ms path = stem(1) + resblock(2) +
-# trunk resblocks(2+2) = 7 rows of 3x3 convs -> radius 7.
-RECEPTIVE_RADIUS = 7
+# Receptive radius of features() in FULL-resolution rows: the half-res
+# trunk (stem 1 + branch resblock 2 + trunk resblocks 2+2 = 7 half-res
+# rows -> 14 full-res) + the full-res refine conv (1) = 15; 16 adds one
+# row of margin for the s2d-2 phase.
+RECEPTIVE_RADIUS = 16
+
+
+def space_to_depth(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """(H, W, C) -> (H/f, W/f, f*f*C); H, W must be multiples of f."""
+    h, w, c = x.shape
+    x = x.reshape(h // f, f, w // f, f, c)
+    return x.transpose(0, 2, 1, 3, 4).reshape(h // f, w // f, f * f * c)
+
+
+def depth_to_space(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    h, w, c = x.shape
+    c0 = c // (f * f)
+    x = x.reshape(h, w, f, f, c0).transpose(0, 2, 1, 3, 4)
+    return x.reshape(h * f, w * f, c0)
 
 
 def window_mean(feats: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -130,24 +149,33 @@ class Net(nn.Module):
         dtype, pdtype = dtypes(cfg)
         w = int(cfg.get("model_width", 32))
         self._dtype = dtype
+        self._w = w
         # Per-block rematerialization: whole-scene activations are
         # ~0.5 GB each at image6 scale, so the backward pass must
         # recompute per block instead of storing every intermediate
         # (unchecked, image6 dense training needs ~37 GB of HBM).
         CB = nn.remat(LocalConvBlock)
         RB = nn.remat(LocalResBlock)
-        self.ms_stem = CB(w // 2, 3, act, dtype, pdtype, name="ms_stem")
-        self.ms_block = RB(w, act, dtype, pdtype, name="ms_block")
-        # PAN enters as 16-channel space-to-depth at MS resolution (a
-        # scene-sized C=1 conv input draws a (2,128)-tiled layout that
-        # pads 256x — 35 GB for image6's PAN — so channels-last must be
-        # fed >= a handful of channels).
+        # The trunk runs at HALF resolution with 4x channels (space-to-
+        # depth 2x): a (H, W, 32) conv fills only a quarter of the TPU's
+        # 128 lanes, while (H/2, W/2, 128) convs measured 79 TF/s vs
+        # 2.9 TF/s — 16x the FLOPs in 0.58x the time (BENCH_NOTES.md).
+        # Same bytes per pixel, so training memory is unchanged.
+        self.ms_stem = CB(w, 3, act, dtype, pdtype, name="ms_stem")
+        self.ms_block = RB(2 * w, act, dtype, pdtype, name="ms_block")
+        # PAN enters as 64-channel space-to-depth-8 at trunk (half-MS)
+        # resolution (a scene-sized C=1 conv input draws a (2,128)-tiled
+        # layout that pads 256x — 35 GB for image6's PAN — so
+        # channels-last must be fed many channels).
         self.pan_stem = CB(w, 3, act, dtype, pdtype, name="pan_stem")
-        self.pan_block = RB(w, act, dtype, pdtype, name="pan_block")
-        self.gate = nn.Conv(w, (1, 1), dtype=dtype, param_dtype=pdtype,
+        self.pan_block = RB(2 * w, act, dtype, pdtype, name="pan_block")
+        self.gate = nn.Conv(2 * w, (1, 1), dtype=dtype, param_dtype=pdtype,
                             name="fusion_gate")
-        self.trunk1 = RB(w, act, dtype, pdtype, name="trunk1")
-        self.trunk2 = RB(w, act, dtype, pdtype, name="trunk2")
+        self.trunk1 = RB(4 * w, act, dtype, pdtype, name="trunk1")
+        self.trunk2 = RB(4 * w, act, dtype, pdtype, name="trunk2")
+        # Full-resolution refine after depth-to-space: restores per-pixel
+        # detail the 2x2 phase packing alone would leave implicit.
+        self.refine = CB(w, 3, act, dtype, pdtype, name="refine")
         self.head1 = nn.Dense(w, dtype=dtype, param_dtype=pdtype,
                               name="head1")
         self.head2 = nn.Dense(cfg["Categories_Number"], dtype=jnp.float32,
@@ -156,21 +184,30 @@ class Net(nn.Module):
 
     def features(self, scene_ms: jnp.ndarray,
                  scene_pan: jnp.ndarray) -> jnp.ndarray:
-        """(H', W', C) + (4H'', 4W'', 1) -> dense (H', W', D) features."""
-        ms = scene_ms[None].astype(self._dtype)
+        """(H', W', C) + (4H'', 4W'', 1) -> dense (H', W', w) features.
+
+        Odd heights/widths are zero-padded to even before the s2d-2
+        packing; the pad sits at the tensor's own bottom/right edge, so
+        full-scene and clamped-band passes pad at the same global rows
+        and stay consistent (band interiors are even-length by
+        construction — train/steps.py::_band_plan)."""
+        ms = scene_ms.astype(self._dtype)
         pan2d = scene_pan if scene_pan.ndim == 2 else scene_pan[..., 0]
-        # Space-to-depth 4x: PAN pixels under MS pixel (x, y) become its
-        # 16 channels, aligning the grids exactly.
-        hm, wm = ms.shape[1], ms.shape[2]
-        pan_s2d = pan2d[: 4 * hm, : 4 * wm].reshape(hm, 4, wm, 4)
-        pan_s2d = pan_s2d.transpose(0, 2, 1, 3).reshape(1, hm, wm, 16)
-        pan_s2d = pan_s2d.astype(self._dtype)
-        h_ms = self.ms_block(self.ms_stem(ms))
-        h_pan = self.pan_block(self.pan_stem(pan_s2d))
+        hm, wm = ms.shape[0], ms.shape[1]
+        hm2, wm2 = -(-hm // 2), -(-wm // 2)
+        ms = jnp.pad(ms, ((0, 2 * hm2 - hm), (0, 2 * wm2 - wm), (0, 0)))
+        pan = pan2d[: 4 * hm, : 4 * wm].astype(self._dtype)
+        pan = jnp.pad(pan, ((0, 8 * hm2 - pan.shape[0]),
+                            (0, 8 * wm2 - pan.shape[1])))[..., None]
+        ms16 = space_to_depth(ms, 2)[None]       # (1, H/2, W/2, 4C)
+        pan64 = space_to_depth(pan, 8)[None]     # (1, H/2, W/2, 64)
+        h_ms = self.ms_block(self.ms_stem(ms16))
+        h_pan = self.pan_block(self.pan_stem(pan64))
         z = nn.sigmoid(self.gate(jnp.concatenate([h_ms, h_pan], axis=-1)))
         fused = z * h_ms + (1.0 - z) * h_pan
-        out = self.trunk2(self.trunk1(fused))
-        return out[0]
+        t = self.trunk2(self.trunk1(fused))[0]   # (H/2, W/2, 4w)
+        full = depth_to_space(t, 2)[:hm, :wm]    # (H', W', w)
+        return self.refine(full[None])[0]
 
     def pooled(self, scene_ms: jnp.ndarray, scene_pan: jnp.ndarray,
                patch: int) -> jnp.ndarray:

@@ -272,7 +272,14 @@ class DensePrograms(DualPrograms):
         data = mesh.shape["data"]
         band = -(-h // data)          # output rows per device
         halo = RECEPTIVE_RADIUS
-        need = band + ps - 1 + 2 * halo   # scene rows per device slice
+        # band outputs + window extent + conv halo both sides + 1 row of
+        # slack for the even-alignment of s0 (the model's s2d-2 trunk
+        # phase grid must match between band and full passes); need is
+        # chosen congruent to ms_rows mod 2 so the bottom-clamped band's
+        # start (ms_rows - need) is itself even while the slice still
+        # ends exactly at the true scene bottom.
+        base = band + ps - 1 + 2 * halo + 1
+        need = base + ((ms_rows - base) % 2)
         if need > ms_rows or band > h:
             return None
         return h, data, band, halo, need
@@ -286,6 +293,7 @@ class DensePrograms(DualPrograms):
         h, data, band, halo, need = plan
         out_start = jnp.minimum(i * band, h - band)
         s0 = jnp.clip(out_start - halo, 0, ms_rows - need)
+        s0 = (s0 // 2) * 2   # keep the model's s2d-2 phase grid global
         return out_start, s0, out_start - s0
 
     @staticmethod
