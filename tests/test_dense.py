@@ -228,6 +228,29 @@ def test_dense_sharded_training_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
 
 
+def test_dense_tiny_scene_falls_back_unsharded():
+    """Scenes too small to band-shard (need > ms_rows) keep working
+    under a mesh: _band_plan returns None and every program falls back
+    to the replicated whole-scene path."""
+    import jax
+    import jax.numpy as jnp
+    from dmfusion.parallel.mesh import get_mesh
+    cfg = _mini_dense_cfg((24, 30, 4))   # ms_rows=31 < need
+    mesh = get_mesh(None)
+    scene, prog, params, opt_state = _dense_programs(cfg, mesh)
+    assert prog._band_plan(scene.ms.shape[0], mesh) is None
+    ids = jnp.arange(32, dtype=jnp.int32).reshape(1, 32) * 7
+    labels = jnp.asarray(scene.label.reshape(-1)[np.asarray(ids)])
+    mask = jnp.ones((1, 32), jnp.float32)
+    params, _, losses = prog.train_epoch(params, opt_state,
+                                         (scene.ms, scene.pan), ids,
+                                         labels, mask)
+    assert np.isfinite(np.asarray(losses)).all()
+    pm = np.asarray(prog.predict_map_jitted()(params,
+                                              (scene.ms, scene.pan)))
+    assert pm.shape == (24, 30)
+
+
 def test_dense_sharded_eval_matches_single_device():
     import jax.numpy as jnp
     from dmfusion.parallel.mesh import get_mesh
