@@ -116,11 +116,6 @@ def gather_windows_pallas(scene2d: jnp.ndarray, xs: jnp.ndarray,
             scratch_shapes=[pltpu.SemaphoreType.DMA((group,))],
         ),
         out_shape=jax.ShapeDtypeStruct((b, rows, lanes), scene2d.dtype),
-        # Both modality gathers can be live in one scan body; the default
-        # 16 MB scoped-VMEM budget rejects that (and any group > 64), so
-        # raise it — v5e has 128 MB VMEM.
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xs, ys, scene2d)
 

@@ -60,15 +60,22 @@ class DualPrograms:
         self.mesh = mesh
         self.num_classes = cfg["Categories_Number"]
         self.loss_fn = loss_fn or cross_entropy
-        # Pallas DMA gather: ~7x the XLA gather on TPU (ops/pallas_gather).
-        # With a mesh, the shard_map-wrapped variant runs per-device on the
-        # local anchor shard.
+        # Pallas DMA gather: ~3-7x the XLA gather on TPU at inference
+        # batches (ops/pallas_gather).  With a mesh, the shard_map-
+        # wrapped variant runs per-device on the local anchor shard.
         self.fast_gather = _on_tpu() and not cfg.get("disable_fast_gather")
 
         self.train_epoch = jax.jit(self._train_epoch, donate_argnums=(0, 1))
         self.eval_epoch = jax.jit(self._eval_epoch)
         self.predict = jax.jit(self._predict)
         self.train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
+
+    def _use_fast(self, b: int) -> bool:
+        # Measured crossover (BENCH_NOTES.md): at B=256 the XLA gather
+        # fuses into the train step and wins (+23%, 109.8k vs 89.1k
+        # samples/s); at B=4096 the Pallas DMA path wins ~3x.  The DMA
+        # kernel is issue-rate bound, so it needs big batches to pay.
+        return self.fast_gather and b >= 1024 and b % 64 == 0
 
     # -- model plumbing (overridden by Tri/Quad) ---------------------------
     def example_inputs(self) -> tuple:
@@ -79,11 +86,12 @@ class DualPrograms:
     def _gather(self, scene_args: tuple, ids_b: jnp.ndarray) -> tuple:
         ids_b = shard_batch(self.mesh, ids_b)
         b = ids_b.shape[0]
-        if self.fast_gather and self.mesh is None and b % 64 == 0:
+        if self.mesh is None and self._use_fast(b):
             from dmfusion.ops.pallas_gather import gather_dual_fast
             ms_b, pan_b = gather_dual_fast(scene_args[0], scene_args[1],
                                            ids_b, self.width, self.patch)
-        elif self.fast_gather and self.mesh is not None:
+        elif (self.fast_gather and self.mesh is not None
+              and ids_b.shape[0] >= 1024):
             from dmfusion.ops.pallas_gather import gather_dual_sharded
             ms_b, pan_b = gather_dual_sharded(scene_args[0], scene_args[1],
                                               ids_b, self.width, self.patch,
@@ -188,8 +196,7 @@ class TriPrograms(DualPrograms):
         # requires mesh=None (mesh runs use the XLA gather, which shards
         # cleanly via the batch constraints).
         ids_b = shard_batch(self.mesh, ids_b)
-        if self.fast_gather and self.mesh is None \
-                and ids_b.shape[0] % 64 == 0:
+        if self.mesh is None and self._use_fast(ids_b.shape[0]):
             from dmfusion.ops.pallas_gather import gather_tri_fast
             parts = gather_tri_fast(scene_args[0], scene_args[1],
                                     scene_args[2], ids_b, self.width,
@@ -210,8 +217,7 @@ class SinglePrograms(DualPrograms):
 
     def _gather(self, scene_args, ids_b):
         ids_b = shard_batch(self.mesh, ids_b)
-        if self.fast_gather and self.mesh is None \
-                and ids_b.shape[0] % 64 == 0:
+        if self.mesh is None and self._use_fast(ids_b.shape[0]):
             from dmfusion.ops.pallas_gather import gather_one_fast
             out = gather_one_fast(scene_args[0], ids_b, self.width,
                                   self.patch)
@@ -534,8 +540,7 @@ class QuadPrograms(DualPrograms):
 
     def _gather(self, scene_args, ids_b):
         ids_b = shard_batch(self.mesh, ids_b)
-        if self.fast_gather and self.mesh is None \
-                and ids_b.shape[0] % 64 == 0:
+        if self.mesh is None and self._use_fast(ids_b.shape[0]):
             from dmfusion.ops.pallas_gather import gather_quad_fast
             parts = gather_quad_fast(*scene_args, ids_b, self.width,
                                      self.patch)
