@@ -139,7 +139,8 @@ class Solver(BaseSolver):
             val_loss = None
             if save_best:
                 vids, vlabels, vmask, _ = self.batches(
-                    self.split.valid, cfg["color_batchsize"], round_to=64)
+                    self.split.valid, cfg["color_batchsize"],
+                    round_to=self._eval_round_to())
                 loss_sum, _ = self.programs.eval_epoch(
                     self.params, self.scene_args, vids, vlabels,
                     vmask.astype(jnp.float32))
@@ -184,13 +185,20 @@ class Solver(BaseSolver):
             {"params": self.params, "opt_state": self.opt_state, "epoch": 0})
         return ckpt["params"]
 
+    def _eval_round_to(self) -> int:
+        """Static eval/predict batch rounding: on TPU the Pallas gather
+        needs B >= 1024 to beat the XLA gather (steps.py::_use_fast), so
+        round the reference's batch-300 surface up to 4096 there —
+        masks keep metrics exact, padding is <4k windows of millions."""
+        return 4096 if getattr(self.programs, "fast_gather", False) else 64
+
     def test(self) -> None:
         cfg = self.cfg
         t0 = self.now()
         params = self._load_eval_params()
         ids, labels, mask, _ = self.batches(self.split.test,
                                             cfg["test_batchsize"],
-                                            round_to=64)
+                                            round_to=self._eval_round_to())
         _, conf = self.programs.eval_epoch(
             params, self.scene_args, ids, labels, mask.astype(jnp.float32))
         self.test_matrix = np.asarray(conf)
@@ -199,7 +207,8 @@ class Solver(BaseSolver):
 
     def _predict_ids(self, params, ids: np.ndarray,
                      batch: int) -> np.ndarray:
-        chunks, _, _, n = self.batches(ids, batch, round_to=64)
+        chunks, _, _, n = self.batches(ids, batch,
+                                       round_to=self._eval_round_to())
         preds = self.programs.predict(params, self.scene_args, chunks)
         return np.asarray(preds).reshape(-1)[:n]
 

@@ -254,7 +254,8 @@ class TwoStageSolver(Solver):
             val_loss = None
             if save_best:
                 vids, vlabels, vmask, _ = self.batches(
-                    self.split.valid, cfg["color_batchsize"], round_to=64)
+                    self.split.valid, cfg["color_batchsize"],
+                    round_to=self._eval_round_to())
                 loss_sum, _ = self.programs.eval_epoch(
                     self.params, self.scene_args, vids, vlabels,
                     vmask.astype(jnp.float32))
@@ -287,7 +288,7 @@ class TwoStageSolver(Solver):
         params = self._load_eval_params()
         ids, labels, mask, _ = self.batches(self.split.test,
                                             cfg["test_batchsize"],
-                                            round_to=64)
+                                            round_to=self._eval_round_to())
         _, confs = self.programs.eval_epoch(params, self.scene_args, ids,
                                             labels,
                                             mask.astype(jnp.float32))

@@ -228,6 +228,33 @@ def test_dense_sharded_training_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
 
 
+def test_band_plan_feasible_for_all_cities():
+    """Every reference city geometry (DATA_DICT) band-shards on an
+    8-device mesh at the default patch size: need <= ms_rows and the
+    per-device slice covers its outputs with conv halo + parity slack."""
+    from dmfusion.config import load_config
+    from dmfusion.parallel.mesh import get_mesh
+    from dmfusion.models.registry import build_model
+    from dmfusion.train.optim import make_optimizer
+    from dmfusion.train.steps import DensePrograms
+    mesh = get_mesh(None)
+    cfg0 = load_config(overrides={"data_city": "image6"})
+    for city, entry in cfg0["DATA_DICT"].items():
+        if city.startswith("synth"):
+            continue
+        h, w, _ = entry["size"]
+        cfg = load_config(overrides={"data_city": city})
+        model = build_model(cfg, "dense_fusion")
+        prog = DensePrograms(model, make_optimizer(cfg, 1), cfg, w,
+                             cfg["patch_size"], mesh)
+        ms_rows = h + cfg["patch_size"] - 1
+        plan = prog._band_plan(ms_rows, mesh)
+        assert plan is not None, city
+        ph, data, band, halo, need = plan
+        assert ph == h and need <= ms_rows
+        assert (ms_rows - need) % 2 == 0  # bottom-clamped start stays even
+
+
 def test_dense_tiny_scene_falls_back_unsharded():
     """Scenes too small to band-shard (need > ms_rows) keep working
     under a mesh: _band_plan returns None and every program falls back
