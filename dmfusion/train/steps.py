@@ -470,9 +470,17 @@ class DensePrograms(DualPrograms):
     def predict_map(self, params, scene_args):
         """(H, W) argmax class map in one dense pass (the full-scene
         color() workload with zero per-pixel work); spatially sharded
-        when a mesh exists."""
-        logits_map = self._full_logits_map(params, scene_args)
-        return jnp.argmax(logits_map, axis=-1).astype(jnp.int32)
+        when a mesh exists.  Single-device runs argmax per phase block
+        in s2d space (model.class_map) so the lane-padded full-res f32
+        logits map never materializes."""
+        if self.mesh is not None and self._band_plan(
+                scene_args[0].shape[0], self.mesh) is not None:
+            logits_map = self.logits_map_sharded(params, scene_args,
+                                                 self.mesh)
+            return jnp.argmax(logits_map, axis=-1).astype(jnp.int32)
+        return self.model.apply({"params": params}, scene_args[0],
+                                scene_args[1], self.patch,
+                                method=self.model.class_map)
 
     def predict_map_jitted(self):
         """Cached jitted predict_map (one compile per program instance)."""
@@ -486,8 +494,9 @@ class DensePrograms(DualPrograms):
         axis) with a ``RECEPTIVE_RADIUS`` halo.  Band slices are clamped
         to lie inside the real scene (see ``_band_plan``), so results
         match the single-device pass to SAT-rounding precision (~1e-6
-        logits; the dense model uses only per-pixel normalization —
-        models/dense_fusion.py).
+        logits; the dense model's weight-standardized norm-free blocks
+        are input-independent, so band features are bit-identical —
+        models/dense_fusion.py::WSConv).
 
         This is the scene-pixel-axis parallelism plan of SURVEY.md §2.3
         realized for the dense family: city-scale scenes whose dense

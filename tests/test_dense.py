@@ -93,6 +93,35 @@ def test_dense_pool_matches_manual_window_mean(dense_solver):
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("hw", [(33, 47), (34, 48), (35, 41), (40, 40)])
+@pytest.mark.parametrize("patch", [8, 16])
+def test_phase_pooling_matches_full_res_sat(hw, patch):
+    """phase_window_mean (half-res s2d SAT, the TPU lane-aligned map
+    path) equals window_mean(depth_to_space(feats)) for every odd/even
+    geometry combination."""
+    from dmfusion.models.dense_fusion import (depth_to_space,
+                                              phase_window_mean,
+                                              space_to_depth, window_mean)
+    h, w = hw
+    if h - patch + 1 <= 0:
+        pytest.skip("window larger than map")
+    rng = np.random.default_rng(h * 100 + w + patch)
+    feats = rng.normal(size=(h, w, 12)).astype(np.float32)
+    # s2d-2 packing pads odd sizes at the bottom/right like features_s2d
+    h2, w2 = -(-h // 2), -(-w // 2)
+    fp = np.zeros((2 * h2, 2 * w2, 12), np.float32)
+    fp[:h, :w] = feats
+    f_s2d = space_to_depth(jnp.asarray(fp), 2)
+    out_r, out_c = h - patch + 1, w - patch + 1
+    got = np.asarray(phase_window_mean(f_s2d, patch, out_r, out_c))
+    want = np.asarray(window_mean(jnp.asarray(feats), patch))
+    assert got.shape == want.shape == (out_r, out_c, 12)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+    # and the s2d round-trip itself is exact
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(f_s2d, 2))[:h, :w], feats)
+
+
 def test_dense_color_single_pass(dense_solver, dense_cfg, monkeypatch):
     """Solver.color for dense arity runs exactly ONE dense pass (not two
     full passes through per-anchor _predict_ids — VERDICT r1 weak #2) and
