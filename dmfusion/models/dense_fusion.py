@@ -222,6 +222,45 @@ def chunked_cumsum(x: jnp.ndarray, axis: int, chunk: int = 128
     return out.reshape(xp.shape[0], nc * chunk, xp.shape[2])[:, :n]
 
 
+def phase_sat(feats_s2d: jnp.ndarray) -> jnp.ndarray:
+    """Zero-padded 2-D summed-area table of the s2d-2 feature tensor in
+    f32: (H2+1, W2+1, 4C), built with :func:`chunked_cumsum` on the
+    128-lane half-res layout."""
+    s = jnp.pad(feats_s2d, ((1, 0), (1, 0), (0, 0)))
+    return chunked_cumsum(chunked_cumsum(s, 0), 1)
+
+
+def phase_corner_sums(flat_sat: jnp.ndarray, w1: int, patch: int,
+                      x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Per-anchor ``patch x patch`` full-res window sums gathered from a
+    flattened phase SAT (:func:`phase_sat` reshaped to (rows*w1, 4C)).
+
+    The full-res window [x, x+patch) x [y, y+patch) decomposes per input
+    phase (c, d) into a half-res rectangle of ``patch/2`` rows starting
+    at ``x//2 + (x%2 & ~c)`` (likewise columns), so each anchor is 16
+    gathered SAT rows combined per phase block -> (B, C).  Used by the
+    dense training programs (train/steps.py::DensePrograms); the dense
+    map path uses :func:`phase_pooled_s2d` instead.
+    """
+    ph = patch // 2
+    c4 = flat_sat.shape[-1]
+    c = c4 // 4
+    i, a = x // 2, x % 2
+    j, b = y // 2, y % 2
+    total = None
+    for cc in (0, 1):
+        rs = i + (a & (1 - cc))
+        for d in (0, 1):
+            cs = j + (b & (1 - d))
+            rect = (flat_sat[(rs + ph) * w1 + (cs + ph)]
+                    - flat_sat[rs * w1 + (cs + ph)]
+                    - flat_sat[(rs + ph) * w1 + cs]
+                    + flat_sat[rs * w1 + cs])
+            blk = rect[:, (cc * 2 + d) * c:(cc * 2 + d + 1) * c]
+            total = blk if total is None else total + blk
+    return total
+
+
 def phase_pooled_s2d(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
                      out_cols: int) -> jnp.ndarray:
     """Window-mean map computed entirely on the s2d-2 phase grid.
@@ -249,8 +288,7 @@ def phase_pooled_s2d(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
     ph = patch // 2
     c4 = feats_s2d.shape[-1]
     c = c4 // 4
-    s = jnp.pad(feats_s2d, ((1, 0), (1, 0), (0, 0)))
-    s = chunked_cumsum(chunked_cumsum(s, 0), 1)
+    s = phase_sat(feats_s2d)
     t = (s[ph:, ph:] - s[:-ph, ph:] - s[ph:, :-ph] + s[:-ph, :-ph])
     # Guard row/col: the shift-1 slices read one row (col) past the last
     # rectangle when out_rows (out_cols) is odd; that (zero) garbage

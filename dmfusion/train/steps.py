@@ -349,30 +349,51 @@ class DensePrograms(DualPrograms):
         scene band only; anchors are owned by the band containing their
         window and combined with one ``psum``).
 
-        Both are end-to-end gradient-checkpointed (cumsum linearizes
-        under remat, unlike reduce_window): the backward recomputes band
-        features + SAT rather than storing scene-sized intermediates.
+        For even patch sizes features stay in the s2d-2 phase layout and
+        the SAT is the half-res :func:`phase_sat` (chunked MXU cumsums on
+        128 lanes; the previous full-res w-channel f32 SAT paid the 4x
+        lane-pad tax through XLA's O(log n)-pass cumsum on every train
+        step, forward AND backward).  Anchor window sums come from 16
+        phase-SAT corner gathers (``phase_corner_sums``).
+
+        Both variants are end-to-end gradient-checkpointed (cumsums —
+        native or chunked-matmul — linearize under remat, unlike
+        reduce_window): the backward recomputes band features + SAT
+        rather than storing scene-sized intermediates.
         """
         ps = self.patch
         width = self.width
-        from dmfusion.models.dense_fusion import sat_window_sums
+        from dmfusion.models.dense_fusion import (phase_corner_sums,
+                                                  phase_sat,
+                                                  sat_window_sums)
 
-        def corners(flat, w1, lx, y):
+        def full_res_corners(flat, w1, lx, y):
             return (flat[(lx + ps) * w1 + (y + ps)]
                     - flat[lx * w1 + (y + ps)]
                     - flat[(lx + ps) * w1 + y]
                     + flat[lx * w1 + y])
+
+        def window_sums(p, band_ms, band_pan, lx, y):
+            """(B,) local-row/col anchors -> (B, D) window sums."""
+            if ps % 2 == 0:
+                f = self.model.apply({"params": p}, band_ms, band_pan,
+                                     method=self.model.features_s2d)
+                s = phase_sat(f)
+                flat = s.reshape(-1, s.shape[-1])
+                return phase_corner_sums(flat, s.shape[1], ps, lx, y), f.dtype
+            feats = self.model.apply({"params": p}, band_ms, band_pan,
+                                     method=self.model.features)
+            flat, w1 = sat_window_sums(feats, ps)
+            return full_res_corners(flat, w1, lx, y), feats.dtype
 
         plan = (self._band_plan(scene_rows, self.mesh)
                 if self.mesh is not None else None)
         if plan is None:
             @jax.checkpoint
             def anchor_pooled(p, s0, s1, ids_b):
-                feats = self.model.apply({"params": p}, s0, s1,
-                                         method=self.model.features)
-                flat, w1 = sat_window_sums(feats, ps)
-                win = corners(flat, w1, ids_b // width, ids_b % width)
-                return (win / jnp.float32(ps * ps)).astype(feats.dtype)
+                win, dt = window_sums(p, s0, s1, ids_b // width,
+                                      ids_b % width)
+                return (win / jnp.float32(ps * ps)).astype(dt)
             return anchor_pooled
 
         from jax.sharding import PartitionSpec as P
@@ -385,20 +406,20 @@ class DensePrograms(DualPrograms):
             band_ms = jax.lax.dynamic_slice_in_dim(ms_l, s0, need, 0)
             band_pan = jax.lax.dynamic_slice_in_dim(pan_l, 4 * s0,
                                                     4 * need, 0)
-            feats = self.model.apply({"params": p}, band_ms, band_pan,
-                                     method=self.model.features)
-            flat, w1 = sat_window_sums(feats, ps)
             x = ids_b // width
             y = ids_b % width
             # Exclusive ownership: anchor row x belongs to the device
             # whose output band [i*band, min((i+1)*band, h)) contains it;
             # owned windows lie entirely in this device's exact rows.
+            # s0 is even (phase-grid aligned), so local-row parity
+            # matches global parity and the phase decomposition agrees
+            # with the unsharded pass.
             own = (x >= i * band) & (x < jnp.minimum((i + 1) * band, h))
             lx = jnp.clip(x - s0, 0, need - ps)
-            win = corners(flat, w1, lx, y)
+            win, dt = window_sums(p, band_ms, band_pan, lx, y)
             win = jnp.where(own[:, None], win, 0.0)
             win = jax.lax.psum(win, "data")
-            return (win / jnp.float32(ps * ps)).astype(feats.dtype)
+            return (win / jnp.float32(ps * ps)).astype(dt)
 
         sharded = shard_map(local, mesh=self.mesh,
                             in_specs=(P(), P(), P(), P()), out_specs=P())
