@@ -122,6 +122,59 @@ def test_phase_pooling_matches_full_res_sat(hw, patch):
         np.asarray(depth_to_space(f_s2d, 2))[:h, :w], feats)
 
 
+@pytest.mark.parametrize("axis", [0, 1])
+@pytest.mark.parametrize("n", [5, 128, 200, 300])
+def test_chunked_cumsum_matches_native(axis, n):
+    """chunked_cumsum (per-chunk triangular MXU matmuls + carry) equals
+    jnp.cumsum in f32 across chunk-boundary/remainder sizes."""
+    from dmfusion.models.dense_fusion import chunked_cumsum
+    rng = np.random.default_rng(n + axis)
+    shape = (n, 37, 8) if axis == 0 else (37, n, 8)
+    x = rng.normal(size=shape).astype(np.float32)
+    got = np.asarray(chunked_cumsum(jnp.asarray(x), axis))
+    want = np.cumsum(x, axis=axis, dtype=np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_phase_corner_sums_match_pooled(dense_solver):
+    """The training gather (16 phase-SAT corners per anchor) agrees with
+    the map path's phase_pooled_s2d at every anchor parity."""
+    from dmfusion.models.dense_fusion import (phase_corner_sums, phase_sat,
+                                              phase_pooled_s2d,
+                                              depth_to_space)
+    prog = dense_solver.programs
+    params = dense_solver.params
+    ms, pan = dense_solver.scene_args
+    ps = dense_solver.scene.patch
+    f = prog.model.apply({"params": params}, ms, pan,
+                         method=prog.model.features_s2d)
+    s = phase_sat(f)
+    flat = s.reshape(-1, s.shape[-1])
+    out_r, out_c = ms.shape[0] - ps + 1, ms.shape[1] - ps + 1
+    pooled = depth_to_space(
+        phase_pooled_s2d(f, ps, out_r, out_c), 2)[:out_r, :out_c]
+    xs = jnp.asarray([0, 1, 2, 3, 10, 11, out_r - 2, out_r - 1], jnp.int32)
+    ys = jnp.asarray([0, 1, 5, 4, 11, 10, out_c - 1, out_c - 2], jnp.int32)
+    got = np.asarray(phase_corner_sums(flat, s.shape[1], ps, xs, ys)
+                     ) / (ps * ps)
+    want = np.asarray(pooled)[np.asarray(xs), np.asarray(ys)]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_class_map_matches_logits_argmax(dense_solver):
+    """model.class_map (s2d-space argmax, no full-res logits tensor)
+    equals argmax over the __call__ logits map."""
+    prog = dense_solver.programs
+    params = dense_solver.params
+    args = dense_solver.scene_args
+    logits = prog._logits_map(params, args)
+    cm = prog.model.apply({"params": params}, args[0], args[1],
+                          dense_solver.scene.patch,
+                          method=prog.model.class_map)
+    np.testing.assert_array_equal(np.asarray(cm),
+                                  np.asarray(jnp.argmax(logits, -1)))
+
+
 def test_dense_color_single_pass(dense_solver, dense_cfg, monkeypatch):
     """Solver.color for dense arity runs exactly ONE dense pass (not two
     full passes through per-anchor _predict_ids — VERDICT r1 weak #2) and
