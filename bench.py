@@ -174,7 +174,12 @@ def main() -> None:
     # caching can hide work, and each timed repeat gets fresh inputs.
     from jax import lax
     from dmfusion.train.steps import DensePrograms
-    dense_cfg = dict(cfg, model_name="dense_fusion", model_width=32)
+    # Scan variant uses the XLA phase-SAT pool: the fused Pallas pool
+    # kernel is faster for a SINGLE map call (the product's color()/test()
+    # pattern, measured separately below) but a custom call inside
+    # lax.scan loses XLA's cross-iteration overlap (BENCH_NOTES.md).
+    dense_cfg = dict(cfg, model_name="dense_fusion", model_width=32,
+                     precision=dict(cfg["precision"], pallas_pool=0))
     dense_model = build_model(dense_cfg)
     prog_d = DensePrograms(dense_model, make_optimizer(dense_cfg, 1),
                            dense_cfg, scene.width, scene.patch, mesh=None)
@@ -215,11 +220,32 @@ def main() -> None:
         int(dense_run(params_d, ms_i, pan_i))
         dtimes.append((time.perf_counter() - t0) / DENSE_SCANS)
     ddt = min(dtimes)
+
+    # Single-shot variant with the fused Pallas pool kernel (the
+    # product call pattern); includes the tunnel's fixed ~33 ms per-call
+    # dispatch cost, so it under-reports pure device throughput.
+    dense_cfg2 = dict(cfg, model_name="dense_fusion", model_width=32)
+    dense_model2 = build_model(dense_cfg2)
+    prog_d2 = DensePrograms(dense_model2, make_optimizer(dense_cfg2, 1),
+                            dense_cfg2, scene.width, scene.patch,
+                            mesh=None)
+    single_run = jax.jit(lambda p, s0, s1: prog_d2.predict_map(
+        p, (s0, s1)).sum())
+    int(single_run(params_d, *fresh_scene(98)))
+    stimes = []
+    for i in range(3, 6):
+        ms_i, pan_i = fresh_scene(i)
+        t0 = time.perf_counter()
+        int(single_run(params_d, ms_i, pan_i))
+        stimes.append(time.perf_counter() - t0)
+    sdt = min(stimes)
+
+    ddt = min(ddt, sdt)
     dense_pps = n / ddt   # every pixel of the scene is one classification
-    print(f"# dmfusion dense flagship (w32): {dense_pps:.1f} pixels/s "
-          f"full image6 map in {ddt * 1e3:.0f} ms "
-          f"(times {[f'{t * 1e3:.0f}ms' for t in dtimes]}, "
-          f"total bench {time.time() - t_start:.0f}s)", file=sys.stderr)
+    print(f"# dmfusion dense flagship (w32): {dense_pps:.1f} pixels/s — "
+          f"scan-8 XLA-pool {min(dtimes) * 1e3:.0f} ms/pass, single-shot "
+          f"Pallas-pool {sdt * 1e3:.0f} ms "
+          f"(total bench {time.time() - t_start:.0f}s)", file=sys.stderr)
 
     best = max(dense_pps, patchwise)
     print(json.dumps({

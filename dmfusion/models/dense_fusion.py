@@ -222,11 +222,14 @@ def chunked_cumsum(x: jnp.ndarray, axis: int, chunk: int = 128
     return out.reshape(xp.shape[0], nc * chunk, xp.shape[2])[:, :n]
 
 
-def phase_sat(feats_s2d: jnp.ndarray) -> jnp.ndarray:
+def phase_sat(feats_s2d: jnp.ndarray, extra: int = 0) -> jnp.ndarray:
     """Zero-padded 2-D summed-area table of the s2d-2 feature tensor in
-    f32: (H2+1, W2+1, 4C), built with :func:`chunked_cumsum` on the
-    128-lane half-res layout."""
-    s = jnp.pad(feats_s2d, ((1, 0), (1, 0), (0, 0)))
+    f32: (H2+1+extra, W2+1+extra, 4C), built with :func:`chunked_cumsum`
+    on the 128-lane half-res layout.  ``extra`` appends zero rows/cols
+    BEFORE the cumsums (they fuse into the first chunk matmul's read),
+    so callers that need shifted slices one past the last rectangle
+    avoid a whole-tensor guard-pad copy afterwards."""
+    s = jnp.pad(feats_s2d, ((1, extra), (1, extra), (0, 0)))
     return chunked_cumsum(chunked_cumsum(s, 0), 1)
 
 
@@ -262,7 +265,8 @@ def phase_corner_sums(flat_sat: jnp.ndarray, w1: int, patch: int,
 
 
 def phase_pooled_s2d(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
-                     out_cols: int) -> jnp.ndarray:
+                     out_cols: int, use_pallas: bool | None = None
+                     ) -> jnp.ndarray:
     """Window-mean map computed entirely on the s2d-2 phase grid.
 
     ``feats_s2d`` is the (H2, W2, 4C) space-to-depth-2 packing of a
@@ -285,15 +289,32 @@ def phase_pooled_s2d(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
     sums with {0, 1} row/col offsets — all static slices of one half-res
     SAT.
     """
+    ni = -(-out_rows // 2)
+    nj = -(-out_cols // 2)
+    if use_pallas is None:
+        try:
+            use_pallas = jax.devices()[0].platform == "tpu"
+        except Exception:
+            use_pallas = False
+    if use_pallas:
+        # Fused Pallas kernel: one feature read + one pooled write
+        # instead of the multi-pass SAT pipeline (ops/pallas_pool.py).
+        from dmfusion.ops.pallas_pool import phase_pool_fused
+        return phase_pool_fused(feats_s2d, patch, ni, nj)
     ph = patch // 2
     c4 = feats_s2d.shape[-1]
     c = c4 // 4
-    s = phase_sat(feats_s2d)
-    t = (s[ph:, ph:] - s[:-ph, ph:] - s[ph:, :-ph] + s[:-ph, :-ph])
-    # Guard row/col: the shift-1 slices read one row (col) past the last
-    # rectangle when out_rows (out_cols) is odd; that (zero) garbage
-    # lands only at full-res rows >= out_rows, sliced off downstream.
-    t = jnp.pad(t, ((0, 1), (0, 1), (0, 0)))
+    dt = feats_s2d.dtype
+    # extra=1 guard row/col: the shift-1 slices read one row (col) past
+    # the last real rectangle when out_rows (out_cols) is odd; the
+    # appended zero input row makes that slot a valid (out-of-range)
+    # rectangle sliced off downstream, without the whole-tensor f32
+    # guard-pad copy a post-hoc jnp.pad costs.  t is cast to the compute
+    # dtype ONCE here so the four shifted matmul reads move half the
+    # bytes (window sums are already down to output precision).
+    s = phase_sat(feats_s2d, extra=1)
+    t = (s[ph:, ph:] - s[:-ph, ph:] - s[ph:, :-ph]
+         + s[:-ph, :-ph]).astype(dt)
     ni = -(-out_rows // 2)
     nj = -(-out_cols // 2)
     # Phase mixing as FOUR shifted selection matmuls on the full
@@ -305,7 +326,6 @@ def phase_pooled_s2d(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
     # (a, b) with a&~c == r and b&~d == u; each (input, output) block
     # pair matches exactly one shift, and the window-mean scale folds
     # into M.
-    dt = feats_s2d.dtype
     scale = 1.0 / float(patch * patch)
     eye = np.eye(c, dtype=np.float32) * scale
     out = None
@@ -320,7 +340,7 @@ def phase_pooled_s2d(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
                                 m[(ci * 2 + d) * c:(ci * 2 + d + 1) * c,
                                   (a * 2 + b) * c:(a * 2 + b + 1) * c] = eye
             part = jax.lax.dot_general(
-                t[r:r + ni, u:u + nj].astype(dt), jnp.asarray(m, dt),
+                t[r:r + ni, u:u + nj], jnp.asarray(m, dt),
                 (((2,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST)
             out = part if out is None else out + part
@@ -328,10 +348,11 @@ def phase_pooled_s2d(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
 
 
 def phase_window_mean(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
-                      out_cols: int) -> jnp.ndarray:
+                      out_cols: int, use_pallas: bool | None = None
+                      ) -> jnp.ndarray:
     """:func:`phase_pooled_s2d` unpacked to the full-res (out_rows,
     out_cols, C) window-mean map."""
-    st = phase_pooled_s2d(feats_s2d, patch, out_rows, out_cols)
+    st = phase_pooled_s2d(feats_s2d, patch, out_rows, out_cols, use_pallas)
     return depth_to_space(st, 2)[:out_rows, :out_cols]
 
 
@@ -399,6 +420,12 @@ class Net(nn.Module):
         self.h2_bias = self.param("head2_bias", nn.initializers.zeros_init(),
                                   (ncls,), pdtype)
         self._act = act
+        # None = auto (Pallas on TPU); False = XLA phase-SAT pipeline
+        # (precision.pallas_pool knob; see BENCH_NOTES.md on when each
+        # wins).
+        self._pool_pallas = (
+            None if int(cfg.get("precision", {}).get("pallas_pool", 1))
+            else False)
 
     def features_s2d(self, scene_ms: jnp.ndarray,
                      scene_pan: jnp.ndarray) -> jnp.ndarray:
@@ -443,7 +470,8 @@ class Net(nn.Module):
         if patch % 2:   # odd windows can't phase-split; full-res SAT
             return window_mean(self.features(scene_ms, scene_pan), patch)
         return phase_window_mean(self.features_s2d(scene_ms, scene_pan),
-                                 patch, hm - patch + 1, wm - patch + 1)
+                                 patch, hm - patch + 1, wm - patch + 1,
+                                 self._pool_pallas)
 
     def head(self, pooled_feats: jnp.ndarray) -> jnp.ndarray:
         """(..., D) pooled features -> (..., num_classes) f32 logits."""
@@ -470,7 +498,8 @@ class Net(nn.Module):
             return self.head(self.pooled(scene_ms, scene_pan, patch))
         out_r, out_c = hm - patch + 1, wm - patch + 1
         st = phase_pooled_s2d(self.features_s2d(scene_ms, scene_pan),
-                              patch, out_r, out_c)    # (ni, nj, 4w)
+                              patch, out_r, out_c,
+                              self._pool_pallas)      # (ni, nj, 4w)
         eye = jnp.eye(4, dtype=self._dtype)
         x = (st.astype(self._dtype)
              @ jnp.kron(eye, self.h1_kernel.astype(self._dtype))
@@ -500,7 +529,7 @@ class Net(nn.Module):
         hm, wm = scene_ms.shape[0], scene_ms.shape[1]
         out_r, out_c = hm - patch + 1, wm - patch + 1
         st = phase_pooled_s2d(self.features_s2d(scene_ms, scene_pan),
-                              patch, out_r, out_c)
+                              patch, out_r, out_c, self._pool_pallas)
         eye = jnp.eye(4, dtype=self._dtype)
         x = (st.astype(self._dtype)
              @ jnp.kron(eye, self.h1_kernel.astype(self._dtype))

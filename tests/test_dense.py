@@ -161,6 +161,25 @@ def test_phase_corner_sums_match_pooled(dense_solver):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("hw", [(40, 56), (33, 41)])
+def test_pallas_pool_matches_xla_phase_pool(hw):
+    """The fused Pallas pooling kernel (interpret mode on CPU) matches
+    the XLA phase-SAT pipeline."""
+    from dmfusion.models.dense_fusion import phase_pooled_s2d
+    from dmfusion.ops.pallas_pool import phase_pool_fused
+    h, w = hw
+    patch = 8
+    rng = np.random.default_rng(h + w)
+    h2, w2 = -(-h // 2), -(-w // 2)
+    f = jnp.asarray(rng.normal(size=(h2, w2, 16)).astype(np.float32))
+    out_r, out_c = h - patch + 1, w - patch + 1
+    ni, nj = -(-out_r // 2), -(-out_c // 2)
+    want = np.asarray(phase_pooled_s2d(f, patch, out_r, out_c))
+    got = np.asarray(phase_pool_fused(f, patch, ni, nj, interpret=True))
+    assert got.shape == want.shape == (ni, nj, 16)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
 def test_class_map_matches_logits_argmax(dense_solver):
     """model.class_map (s2d-space argmax, no full-res logits tensor)
     equals argmax over the __call__ logits map."""
