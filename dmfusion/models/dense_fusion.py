@@ -28,6 +28,7 @@ models.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Mapping
 
 import jax
@@ -264,6 +265,32 @@ def phase_corner_sums(flat_sat: jnp.ndarray, w1: int, patch: int,
     return total
 
 
+@functools.lru_cache(maxsize=None)
+def phase_mix_matrices(c4: int, patch: int):
+    """The four (r, u, M) phase-selection matmul operands shared by the
+    XLA pipeline (:func:`phase_pooled_s2d`) and the Pallas kernel
+    (ops/pallas_pool.py).  For shift (r, u), M routes input phase block
+    (c, d) to every output block (a, b) with a&~c == r and b&~d == u;
+    each (input, output) block pair matches exactly one shift, and the
+    1/patch^2 window-mean scale folds into M."""
+    c = c4 // 4
+    eye = np.eye(c, dtype=np.float32) / float(patch * patch)
+    out = []
+    for r in (0, 1):
+        for u in (0, 1):
+            m = np.zeros((c4, c4), np.float32)
+            for ci in (0, 1):
+                for d in (0, 1):
+                    for a in (0, 1):
+                        for b in (0, 1):
+                            if (a & (1 - ci)) == r and (b & (1 - d)) == u:
+                                m[(ci * 2 + d) * c:(ci * 2 + d + 1) * c,
+                                  (a * 2 + b) * c:(a * 2 + b + 1) * c] \
+                                    = eye
+            out.append((r, u, m))
+    return tuple(out)
+
+
 def phase_pooled_s2d(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
                      out_cols: int, use_pallas: bool | None = None
                      ) -> jnp.ndarray:
@@ -292,6 +319,10 @@ def phase_pooled_s2d(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
     ni = -(-out_rows // 2)
     nj = -(-out_cols // 2)
     if use_pallas is None:
+        # Trace-time default-backend check; for AOT lowering to a
+        # DIFFERENT target (tools/dense_aot_memcheck.py-style), pass
+        # use_pallas explicitly so the compiled program matches the one
+        # the real device runs.
         try:
             use_pallas = jax.devices()[0].platform == "tpu"
         except Exception:
@@ -302,8 +333,6 @@ def phase_pooled_s2d(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
         from dmfusion.ops.pallas_pool import phase_pool_fused
         return phase_pool_fused(feats_s2d, patch, ni, nj)
     ph = patch // 2
-    c4 = feats_s2d.shape[-1]
-    c = c4 // 4
     dt = feats_s2d.dtype
     # extra=1 guard row/col: the shift-1 slices read one row (col) past
     # the last real rectangle when out_rows (out_cols) is odd; the
@@ -315,35 +344,18 @@ def phase_pooled_s2d(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
     s = phase_sat(feats_s2d, extra=1)
     t = (s[ph:, ph:] - s[:-ph, ph:] - s[ph:, :-ph]
          + s[:-ph, :-ph]).astype(dt)
-    ni = -(-out_rows // 2)
-    nj = -(-out_cols // 2)
     # Phase mixing as FOUR shifted selection matmuls on the full
     # 4C-channel tensor.  Slicing t into per-phase C-channel groups
     # would reintroduce the lane-padded low-channel layout this function
     # exists to avoid (measured: 16 channel-group slices cost 46 ms per
-    # image6 pass vs ~2 ms of block-diagonal MXU matmuls).  For shift
-    # (r, u), M routes input phase block (c, d) to every output block
-    # (a, b) with a&~c == r and b&~d == u; each (input, output) block
-    # pair matches exactly one shift, and the window-mean scale folds
-    # into M.
-    scale = 1.0 / float(patch * patch)
-    eye = np.eye(c, dtype=np.float32) * scale
+    # image6 pass vs ~2 ms of block-diagonal MXU matmuls).
     out = None
-    for r in (0, 1):
-        for u in (0, 1):
-            m = np.zeros((c4, c4), np.float32)
-            for ci in (0, 1):
-                for d in (0, 1):
-                    for a in (0, 1):
-                        for b in (0, 1):
-                            if (a & (1 - ci)) == r and (b & (1 - d)) == u:
-                                m[(ci * 2 + d) * c:(ci * 2 + d + 1) * c,
-                                  (a * 2 + b) * c:(a * 2 + b + 1) * c] = eye
-            part = jax.lax.dot_general(
-                t[r:r + ni, u:u + nj], jnp.asarray(m, dt),
-                (((2,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST)
-            out = part if out is None else out + part
+    for r, u, m in phase_mix_matrices(feats_s2d.shape[-1], patch):
+        part = jax.lax.dot_general(
+            t[r:r + ni, u:u + nj], jnp.asarray(m, dt),
+            (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        out = part if out is None else out + part
     return out.astype(dt)
 
 
@@ -474,28 +486,36 @@ class Net(nn.Module):
                                  self._pool_pallas)
 
     def head(self, pooled_feats: jnp.ndarray) -> jnp.ndarray:
-        """(..., D) pooled features -> (..., num_classes) f32 logits."""
+        """(..., D) pooled features -> (..., num_classes) f32 logits.
+
+        Both head matmuls run with compute-dtype operands and f32
+        accumulation — the SAME numerics as the s2d map path's
+        block-diagonal matmuls, so training (this path) and eval/color
+        (``__call__``/``class_map``) see one classifier, on every
+        backend.  (On TPU an f32-operand matmul at default precision
+        truncates to bf16 internally anyway; making the cast explicit
+        also keeps CPU runs consistent.)
+        """
         x = (pooled_feats.astype(self._dtype)
              @ self.h1_kernel.astype(self._dtype)
              + self.h1_bias.astype(self._dtype))
-        x = self._act(x).astype(jnp.float32)
-        return (x @ self.h2_kernel.astype(jnp.float32)
-                + self.h2_bias.astype(jnp.float32))
+        x = self._act(x)
+        return jax.lax.dot_general(
+            x, self.h2_kernel.astype(self._dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + self.h2_bias.astype(jnp.float32)
 
-    def __call__(self, scene_ms: jnp.ndarray, scene_pan: jnp.ndarray,
-                 patch: int) -> jnp.ndarray:
-        """Full-scene logits map (H, W, num_classes).
+    def _logits_s2d(self, scene_ms: jnp.ndarray, scene_pan: jnp.ndarray,
+                    patch: int) -> jnp.ndarray:
+        """Even-patch pooled-head pipeline on the s2d-2 phase layout:
+        -> (ni, nj, 4*ncls) f32 logits (phase-major channel blocks).
 
-        For even ``patch`` the whole tail (pooling + head) runs on the
-        s2d-2 phase layout: the head weights apply as kron(I4, K)
-        block-diagonal matmuls over the 4w-channel (128-lane) pooled
-        map, and only the final (H, W, ncls) logits are unpacked.
-        Adding the off-block zero terms is FP-exact, so this matches
-        ``head(pooled(...))`` up to summation order.
-        """
+        The head weights apply as kron(I4, K) block-diagonal matmuls
+        over the 4w-channel (128-lane) pooled map; adding the off-block
+        zero terms is FP-exact, so this matches ``head(pooled(...))`` up
+        to summation order."""
         hm, wm = scene_ms.shape[0], scene_ms.shape[1]
-        if patch % 2:
-            return self.head(self.pooled(scene_ms, scene_pan, patch))
         out_r, out_c = hm - patch + 1, wm - patch + 1
         st = phase_pooled_s2d(self.features_s2d(scene_ms, scene_pan),
                               patch, out_r, out_c,
@@ -505,13 +525,25 @@ class Net(nn.Module):
              @ jnp.kron(eye, self.h1_kernel.astype(self._dtype))
              + jnp.tile(self.h1_bias.astype(self._dtype), 4))
         x = self._act(x)
-        # bf16 inputs + f32 accumulate/output: no f32 materialization of
-        # the (ni, nj, 4w) activation just to feed the classifier matmul.
-        logits_s2d = jax.lax.dot_general(
+        # compute-dtype inputs + f32 accumulate/output: no f32
+        # materialization of the (ni, nj, 4w) activation just to feed
+        # the classifier matmul.
+        return jax.lax.dot_general(
             x, jnp.kron(eye, self.h2_kernel.astype(self._dtype)),
             (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + jnp.tile(self.h2_bias.astype(jnp.float32), 4)
+
+    def __call__(self, scene_ms: jnp.ndarray, scene_pan: jnp.ndarray,
+                 patch: int) -> jnp.ndarray:
+        """Full-scene logits map (H, W, num_classes): the whole tail
+        (pooling + head) runs on the s2d-2 phase layout and only the
+        final (H, W, ncls) logits are unpacked."""
+        if patch % 2:
+            return self.head(self.pooled(scene_ms, scene_pan, patch))
+        out_r = scene_ms.shape[0] - patch + 1
+        out_c = scene_ms.shape[1] - patch + 1
+        logits_s2d = self._logits_s2d(scene_ms, scene_pan, patch)
         return depth_to_space(logits_s2d, 2)[:out_r, :out_c]
 
     def class_map(self, scene_ms: jnp.ndarray, scene_pan: jnp.ndarray,
@@ -526,20 +558,9 @@ class Net(nn.Module):
         if patch % 2:
             return jnp.argmax(self(scene_ms, scene_pan, patch),
                               axis=-1).astype(jnp.int32)
-        hm, wm = scene_ms.shape[0], scene_ms.shape[1]
-        out_r, out_c = hm - patch + 1, wm - patch + 1
-        st = phase_pooled_s2d(self.features_s2d(scene_ms, scene_pan),
-                              patch, out_r, out_c, self._pool_pallas)
-        eye = jnp.eye(4, dtype=self._dtype)
-        x = (st.astype(self._dtype)
-             @ jnp.kron(eye, self.h1_kernel.astype(self._dtype))
-             + jnp.tile(self.h1_bias.astype(self._dtype), 4))
-        x = self._act(x)
-        logits_s2d = jax.lax.dot_general(
-            x, jnp.kron(eye, self.h2_kernel.astype(self._dtype)),
-            (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jnp.tile(self.h2_bias.astype(jnp.float32), 4)
+        out_r = scene_ms.shape[0] - patch + 1
+        out_c = scene_ms.shape[1] - patch + 1
+        logits_s2d = self._logits_s2d(scene_ms, scene_pan, patch)
         ncls = logits_s2d.shape[-1] // 4
         am = jnp.stack(
             [jnp.argmax(logits_s2d[..., k * ncls:(k + 1) * ncls], axis=-1)

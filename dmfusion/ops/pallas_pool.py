@@ -36,31 +36,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.lru_cache(maxsize=None)
 def _mix_np(c4: int, patch: int):
-    """Selection matrices M[(r, u)]: input phase block (c, d) routes to
-    output block (a, b) with a&~c == r, b&~d == u; window-mean scale
-    folded in.  Same math as phase_pooled_s2d."""
-    c = c4 // 4
-    eye = np.eye(c, dtype=np.float32) / float(patch * patch)
-    out = []
-    for r in (0, 1):
-        for u in (0, 1):
-            m = np.zeros((c4, c4), np.float32)
-            for ci in (0, 1):
-                for d in (0, 1):
-                    for a in (0, 1):
-                        for b in (0, 1):
-                            if (a & (1 - ci)) == r and (b & (1 - d)) == u:
-                                m[(ci * 2 + d) * c:(ci * 2 + d + 1) * c,
-                                  (a * 2 + b) * c:(a * 2 + b + 1) * c] \
-                                    = eye
-            out.append((r, u, m))
-    return out
+    """Phase-selection matmul operands — the single source of truth
+    lives next to the XLA pipeline this kernel must match
+    (models/dense_fusion.py::phase_mix_matrices)."""
+    from dmfusion.models.dense_fusion import phase_mix_matrices
+    return phase_mix_matrices(c4, patch)
 
 
 def _kernel(f_hbm, m0, m1, m2, m3, out_ref, slab, sem, *, bi, njt, ph,
-            c4, n_rows, n_cols, dtype):
+            c4, dtype):
     mix_ref = (m0, m1, m2, m3)
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -142,7 +127,7 @@ def phase_pool_fused(feats: jnp.ndarray, patch: int, ni: int, nj: int,
     mix_args = [jnp.asarray(m, feats.dtype) for (_r, _u, m) in mix]
 
     kernel = functools.partial(_kernel, bi=bi, njt=njt, ph=ph, c4=c4,
-                               n_rows=nr, n_cols=ncols, dtype=feats.dtype)
+                               dtype=feats.dtype)
     out = pl.pallas_call(
         kernel,
         grid=(nr, ncols),
