@@ -145,7 +145,13 @@ DEFAULTS: dict[str, Any] = {
         "momentum": 0.9,       # SGD (reference utils/utils.py:14)
         "alpha": 0.99,         # RMSprop (reference utils/utils.py:16)
     },
-    "train": {"index": 1, "pretrained": 0, "save_best": True},
+    "train": {"index": 1, "pretrained": 0, "save_best": True,
+              # dense-family gradient rematerialization: "auto" turns it
+              # OFF when the whole-scene activations fit one chip
+              # (image6-class at w<=32: 373 -> 222 ms/step measured) and
+              # ON for band-sharded / larger-than-HBM cases; "on"/"off"
+              # force it.
+              "dense_remat": "auto"},
     "test": {"index": 1, "save_matrix": 1},
     "color": {"index": 0, "supervised": 1, "unsupervised": 1},
     "trans": {

@@ -389,11 +389,16 @@ class Net(nn.Module):
         self._dtype = dtype
         self._w = w
         # Per-block rematerialization: whole-scene activations are
-        # ~0.5 GB each at image6 scale, so the backward pass must
-        # recompute per block instead of storing every intermediate
-        # (unchecked, image6 dense training needs ~37 GB of HBM).
-        CB = nn.remat(LocalConvBlock)
-        RB = nn.remat(LocalResBlock)
+        # ~0.27 GB each at image6 scale, so memory-tight training (band
+        # sharding, big scenes, wide trunks) must recompute per block
+        # instead of storing every intermediate.  When everything fits,
+        # storing is 40% faster (373 -> 222 ms/step at image6 w32) —
+        # the solver resolves train.dense_remat "auto" accordingly
+        # (solvers/main.py::_resolve_dense_remat).
+        remat = str(cfg.get("train", {}).get("dense_remat", "on")).lower()
+        wrap = (lambda m: m) if remat in ("off", "0") else nn.remat
+        CB = wrap(LocalConvBlock)
+        RB = wrap(LocalResBlock)
         # The trunk runs at HALF resolution with 4x channels (space-to-
         # depth 2x): a (H, W, 32) conv fills only a quarter of the TPU's
         # 128 lanes, while (H/2, W/2, 128) convs measured 79 TF/s vs

@@ -74,10 +74,31 @@ class Solver(BaseSolver):
         return {"dual": DualPrograms, "tri": TriPrograms,
                 "single": SinglePrograms, "dense": DensePrograms}[arity]
 
+    def _resolve_dense_remat(self, cfg) -> str:
+        """train.dense_remat "auto" -> "off" when the whole-scene dense
+        activations comfortably fit one chip (store-residuals training
+        is 40% faster, BENCH_NOTES.md), else "on"; band-sharded runs
+        always remat (that path exists because memory is tight)."""
+        mode = str(cfg["train"].get("dense_remat", "auto")).lower()
+        if mode != "auto":
+            return mode
+        if self.mesh is not None:
+            return "on"
+        w = int(cfg.get("model_width", 32))
+        cells = -(-self.scene.ms.shape[0] // 2) * \
+            -(-self.scene.ms.shape[1] // 2)
+        # ~16 live (H/2, W/2, 4w) bf16 block tensors + f32 SAT headroom
+        est_bytes = cells * 4 * w * 2 * 16
+        return "off" if est_bytes < 9e9 else "on"
+
     def init_model(self) -> None:
         cfg = self.cfg
-        self.model = build_model(cfg)
         arity = model_arity(cfg["model_name"])
+        if arity == "dense":
+            cfg = dict(cfg, train=dict(
+                cfg["train"],
+                dense_remat=self._resolve_dense_remat(cfg)))
+        self.model = build_model(cfg)
         if self.scene_args is None:
             self.scene_args = self._make_scene_args(arity)
         steps_per_epoch = max(

@@ -379,6 +379,32 @@ def test_dense_tiny_scene_falls_back_unsharded():
     assert pm.shape == (24, 30)
 
 
+def test_dense_remat_off_matches_on():
+    """train.dense_remat off (store residuals; 40% faster when HBM
+    allows) must not change training numerics: same per-step losses and
+    updated params as the rematerializing program."""
+    import jax
+    import jax.numpy as jnp
+    out = {}
+    for mode in ("on", "off"):
+        cfg = _mini_dense_cfg((61, 40, 4), train={
+            "index": 1, "pretrained": 0, "save_best": True,
+            "dense_remat": mode})
+        scene, prog, params, opt_state = _dense_programs(cfg, None)
+        rng = np.random.default_rng(5)
+        ids = jnp.asarray(rng.choice(scene.num_pixels, (2, 32),
+                                     replace=False).astype(np.int32))
+        labels = jnp.asarray(scene.label.reshape(-1)[np.asarray(ids)])
+        mask = jnp.ones((2, 32), jnp.float32)
+        params, _, losses = prog.train_epoch(
+            params, opt_state, (scene.ms, scene.pan), ids, labels, mask)
+        out[mode] = (np.asarray(losses), jax.tree.map(np.asarray, params))
+    np.testing.assert_allclose(out["on"][0], out["off"][0], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out["on"][1]),
+                    jax.tree.leaves(out["off"][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
 def test_dense_sharded_eval_matches_single_device():
     import jax.numpy as jnp
     from dmfusion.parallel.mesh import get_mesh
