@@ -13,9 +13,11 @@ intermediates in HBM and costs ~23 ms per image6 pass at the chip's
 ~130 GB/s unfused-pass rate; this kernel's HBM traffic is one feature
 read + one pooled write (~550 MB bf16).
 
-Overlapping slabs cannot be expressed as BlockSpec tiles (block starts
-are multiples of the block shape), hence the manual double-buffered DMA
-from an `ANY`-space operand.
+Overlapping slabs are fetched with a manual double-buffered DMA from an
+`ANY`-space operand.  (A BlockSpec-only formulation — two shifted
+tilings per axis — was also built and measured; identical performance
+including the in-scan composition penalty, so the simpler manual-DMA
+form stays.  See BENCH_NOTES.md.)
 
 Forward-only: the dense training programs gather per-anchor SAT corners
 instead (train/steps.py), so this kernel needs no VJP.

@@ -379,6 +379,27 @@ def test_dense_tiny_scene_falls_back_unsharded():
     assert pm.shape == (24, 30)
 
 
+def test_wsconv_standardization():
+    """WSConv standardizes its kernel: for a unit-variance input, the
+    pre-activation output is ~unit-variance at init (gain 1), which is
+    what replaces the removed activation-space norms."""
+    import jax
+    from dmfusion.models.dense_fusion import WSConv
+    m = WSConv(32, 3, 1.0, jnp.float32, jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 48, 48, 16)).astype(np.float32))
+    p = m.init(jax.random.PRNGKey(1), x)
+    y = m.apply(p, x)
+    v = float(jnp.var(y[0, 2:-2, 2:-2]))
+    assert 0.7 < v < 1.4, v
+    # standardization is invariant to kernel rescaling: doubling the raw
+    # kernel must not change the output
+    p2 = jax.tree.map(lambda a: a, p)
+    p2 = {"params": dict(p2["params"], kernel=p2["params"]["kernel"] * 2)}
+    np.testing.assert_allclose(np.asarray(m.apply(p2, x)), np.asarray(y),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_dense_remat_off_matches_on():
     """train.dense_remat off (store residuals; 40% faster when HBM
     allows) must not change training numerics: same per-step losses and
