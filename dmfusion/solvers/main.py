@@ -36,7 +36,8 @@ import numpy as np
 from dmfusion.models.registry import build_model, model_arity
 from dmfusion.ops.metrics import render_class_map
 from dmfusion.solvers.base import BaseSolver
-from dmfusion.train.checkpoint import exists, load_checkpoint, save_checkpoint
+from dmfusion.train.checkpoint import (exists, load_checkpoint,
+                                       save_checkpoint, snapshot)
 from dmfusion.train.losses import make_loss
 from dmfusion.train.optim import make_optimizer
 from dmfusion.train.steps import DualPrograms, SinglePrograms, TriPrograms
@@ -172,7 +173,7 @@ class Solver(BaseSolver):
                     # Real device copy: train_epoch donates its param
                     # buffers, so an aliasing snapshot would be deleted by
                     # the next epoch's update.
-                    self.best_params = jax.tree.map(jnp.array, self.params)
+                    self.best_params = snapshot(self.params)
                     save_checkpoint(self.best_weights_path(), self.best_params)
             save_checkpoint(self.cur_weights_path(),
                             {"params": self.params,

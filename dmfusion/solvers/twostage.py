@@ -34,7 +34,8 @@ from dmfusion.ops.ihs import pan2ms
 from dmfusion.ops.image import scene_to_tiles, tiles_to_scene
 from dmfusion.ops.metrics import render_class_map
 from dmfusion.solvers.main import Solver
-from dmfusion.train.checkpoint import load_checkpoint, save_checkpoint
+from dmfusion.train.checkpoint import (load_checkpoint, save_checkpoint,
+                                       snapshot)
 from dmfusion.train.gan import GanPrograms
 from dmfusion.train.losses import make_loss
 from dmfusion.train.optim import make_optimizer
@@ -264,7 +265,7 @@ class TwoStageSolver(Solver):
                     best_loss = val_loss
                     # Real device copy — train_epoch donates param buffers
                     # (see solvers/main.py).
-                    self.best_params = jax.tree.map(jnp.array, self.params)
+                    self.best_params = snapshot(self.params)
                     save_checkpoint(self.best_weights_path(),
                                     self.best_params)
             save_checkpoint(self.cur_weights_path(),

@@ -17,15 +17,40 @@ import os
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
 
 def save_checkpoint(path: str | os.PathLike, tree: Any) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    # Start ALL device->host copies before materializing any: on a
+    # remote-tunneled device each synchronous per-leaf fetch pays a
+    # ~30 ms round trip, and a params+opt_state tree has hundreds of
+    # leaves — measured ~6 s per epoch checkpoint, dwarfing the actual
+    # train step.  Async-first overlaps them into ~one round trip.
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
     host_tree = jax.tree.map(np.asarray, tree)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(host_tree))
+
+
+@jax.jit
+def _copy_tree(tree):
+    return jax.tree.map(jnp.copy, tree)
+
+
+def snapshot(tree: Any) -> Any:
+    """ONE-dispatch on-device copy of a pytree, safe to keep across
+    later donations of the source buffers.
+
+    ``jax.tree.map(jnp.array, tree)`` issues a blocking round trip per
+    leaf — ~8 s per best-params snapshot for a 64-leaf model on the
+    remote-tunneled TPU; a single jitted program with ``jnp.copy``
+    leaves (fresh, non-aliased output buffers) costs one dispatch."""
+    return _copy_tree(tree)
 
 
 def _merge_lenient(template: Any, loaded: Any) -> Any:
