@@ -93,17 +93,23 @@ def gather_tri(ms: jnp.ndarray, pan: jnp.ndarray, mspan: jnp.ndarray,
     return ms_p, pan_p, mspan_p
 
 
-def batched_ids(ids: jnp.ndarray, batch: int,
+def batched_ids(ids, batch: int,
                 fill_value: int = 0) -> tuple[jnp.ndarray, jnp.ndarray, int]:
     """Pad ``ids`` to a multiple of ``batch`` and reshape to (steps, batch).
 
     Static shapes keep everything under one jit compile across epochs; the
     returned boolean mask marks real (non-padding) entries so metric
     accumulation can ignore the tail.
+
+    Built host-side in numpy: on a remote-tunneled device each eager jnp
+    op is its own dispatch, and this runs every epoch.
     """
+    import numpy as np
+    ids = np.asarray(ids)
     n = ids.shape[0]
     steps = -(-n // batch)
-    padded = jnp.full((steps * batch,), fill_value, dtype=ids.dtype)
-    padded = padded.at[:n].set(ids)
-    mask = (jnp.arange(steps * batch) < n).reshape(steps, batch)
-    return padded.reshape(steps, batch), mask, n
+    padded = np.full((steps * batch,), fill_value, dtype=ids.dtype)
+    padded[:n] = ids
+    mask = (np.arange(steps * batch) < n).reshape(steps, batch)
+    return (jnp.asarray(padded.reshape(steps, batch)), jnp.asarray(mask),
+            n)
