@@ -144,18 +144,33 @@ RECEPTIVE_RADIUS = 18
 
 
 def space_to_depth(x: jnp.ndarray, f: int) -> jnp.ndarray:
-    """(H, W, C) -> (H/f, W/f, f*f*C); H, W must be multiples of f."""
+    """(H, W, C) -> (H/f, W/f, f*f*C); H, W must be multiples of f.
+
+    Channel order is phase-major: [row-phase, col-phase, C].
+
+    Implementation note: the column fold is a pure reshape (bitcast —
+    (W, C) -> (W/f, f*C) preserves linear order), so the only real data
+    movement is ONE row transpose whose operand keeps large minor dims.
+    The naive 5-D reshape+transpose materializes an intermediate whose
+    (f, C) minor dims XLA tile-pads catastrophically at scene scale
+    (25.9 GB for image9's C=1 PAN — an OOM, not just a slowdown).
+    """
     h, w, c = x.shape
-    x = x.reshape(h // f, f, w // f, f, c)
-    return x.transpose(0, 2, 1, 3, 4).reshape(h // f, w // f, f * f * c)
+    x = x.reshape(h, w // f, f * c)               # cols: bitcast
+    x = x.reshape(h // f, f, w // f, f * c)        # rows split: bitcast
+    x = x.transpose(0, 2, 1, 3)                    # the one real copy
+    return x.reshape(h // f, w // f, f * f * c)
 
 
 def depth_to_space(x: jnp.ndarray, f: int) -> jnp.ndarray:
-    """Inverse of :func:`space_to_depth`."""
+    """Inverse of :func:`space_to_depth` (same single-transpose,
+    large-minor formulation)."""
     h, w, c = x.shape
     c0 = c // (f * f)
-    x = x.reshape(h, w, f, f, c0).transpose(0, 2, 1, 3, 4)
-    return x.reshape(h * f, w * f, c0)
+    x = x.reshape(h, w, f, f * c0)                 # row-phase split: bitcast
+    x = x.transpose(0, 2, 1, 3)                    # (h, f, w, f*c0)
+    x = x.reshape(h * f, w, f * c0)                # rows merge: bitcast
+    return x.reshape(h * f, w * f, c0)             # cols: bitcast
 
 
 def window_mean(feats: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -455,16 +470,26 @@ class Net(nn.Module):
         full-scene and clamped-band passes pad at the same global rows
         and stay consistent (band interiors are even-length by
         construction — train/steps.py::_band_plan)."""
-        ms = scene_ms.astype(self._dtype)
+        # space_to_depth BEFORE the bf16 cast: with bf16's packed
+        # (16,128) tiling XLA picks a padded layout for the transpose
+        # intermediate (16x — a 25.9 GB OOM at image9 scale); in the
+        # scene dtype the same transpose lays out compactly, and the
+        # cast lands on the channels-rich output.
+        ms = scene_ms
         pan2d = scene_pan if scene_pan.ndim == 2 else scene_pan[..., 0]
         hm, wm = ms.shape[0], ms.shape[1]
         hm2, wm2 = -(-hm // 2), -(-wm // 2)
         ms = jnp.pad(ms, ((0, 2 * hm2 - hm), (0, 2 * wm2 - wm), (0, 0)))
-        pan = pan2d[: 4 * hm, : 4 * wm].astype(self._dtype)
+        pan = pan2d[: 4 * hm, : 4 * wm]
         pan = jnp.pad(pan, ((0, 8 * hm2 - pan.shape[0]),
                             (0, 8 * wm2 - pan.shape[1])))[..., None]
-        ms16 = space_to_depth(ms, 2)[None]       # (1, H/2, W/2, 4C)
-        pan64 = space_to_depth(pan, 8)[None]     # (1, H/2, W/2, 64)
+        # The barrier stops XLA's simplifier from hoisting the bf16
+        # convert back above the transpose (it prefers transposing
+        # fewer bytes, recreating the padded bf16 intermediate).
+        ms16 = jax.lax.optimization_barrier(space_to_depth(ms, 2))
+        pan64 = jax.lax.optimization_barrier(space_to_depth(pan, 8))
+        ms16 = ms16.astype(self._dtype)[None]
+        pan64 = pan64.astype(self._dtype)[None]
         h_ms = self.ms_block(self.ms_stem(ms16))
         h_pan = self.pan_block(self.pan_stem(pan64))
         z = nn.sigmoid(self.gate(jnp.concatenate([h_ms, h_pan], axis=-1)))
