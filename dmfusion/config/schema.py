@@ -179,12 +179,16 @@ DEFAULTS: dict[str, Any] = {
                                        # "bfloat16" for ~5% faster gathers
                                        # (BENCH_NOTES.md) at the cost of
                                        # bit-exact gather parity
-        "pallas_pool": 1,              # fused Pallas window-pool kernel on
+        "pallas_pool": "auto",         # fused Pallas window-pool kernel on
                                        # TPU for the dense map path (-21 ms
-                                       # per single-shot image6 map); 0 =
-                                       # XLA phase-SAT pipeline, which is
-                                       # faster for back-to-back scanned
-                                       # maps (BENCH_NOTES.md)
+                                       # per single-shot image6 map).
+                                       # "auto" = on for single-device TPU,
+                                       # off under a mesh (Pallas inside
+                                       # shard_map on a real multi-chip
+                                       # mesh is unvalidated here); 1/0
+                                       # force it.  0 also wins for
+                                       # back-to-back scanned maps
+                                       # (BENCH_NOTES.md)
     },
     "profile": {"enabled": 0, "dir": "profile/"},
     "debug": {"nans": 0},              # jax_debug_nans sanitizer (SURVEY §5)

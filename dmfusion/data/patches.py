@@ -93,6 +93,22 @@ def gather_tri(ms: jnp.ndarray, pan: jnp.ndarray, mspan: jnp.ndarray,
     return ms_p, pan_p, mspan_p
 
 
+def batched_ids_np(ids, batch: int, fill_value: int = 0):
+    """Host-side (numpy) variant of :func:`batched_ids`: returns
+    ``(padded (steps, batch) np.ndarray, mask np.ndarray, n)`` without
+    touching the device — callers that also need host-side label
+    lookups (solvers/base.py::batches) index with the numpy array and
+    push everything to the device exactly once."""
+    import numpy as np
+    ids = np.asarray(ids)
+    n = ids.shape[0]
+    steps = -(-n // batch)
+    padded = np.full((steps * batch,), fill_value, dtype=ids.dtype)
+    padded[:n] = ids
+    mask = (np.arange(steps * batch) < n).reshape(steps, batch)
+    return padded.reshape(steps, batch), mask, n
+
+
 def batched_ids(ids, batch: int,
                 fill_value: int = 0) -> tuple[jnp.ndarray, jnp.ndarray, int]:
     """Pad ``ids`` to a multiple of ``batch`` and reshape to (steps, batch).
@@ -104,12 +120,5 @@ def batched_ids(ids, batch: int,
     Built host-side in numpy: on a remote-tunneled device each eager jnp
     op is its own dispatch, and this runs every epoch.
     """
-    import numpy as np
-    ids = np.asarray(ids)
-    n = ids.shape[0]
-    steps = -(-n // batch)
-    padded = np.full((steps * batch,), fill_value, dtype=ids.dtype)
-    padded[:n] = ids
-    mask = (np.arange(steps * batch) < n).reshape(steps, batch)
-    return (jnp.asarray(padded.reshape(steps, batch)), jnp.asarray(mask),
-            n)
+    padded, mask, n = batched_ids_np(ids, batch, fill_value)
+    return jnp.asarray(padded), jnp.asarray(mask), n

@@ -452,12 +452,14 @@ class Net(nn.Module):
         self.h2_bias = self.param("head2_bias", nn.initializers.zeros_init(),
                                   (ncls,), pdtype)
         self._act = act
-        # None = auto (Pallas on TPU); False = XLA phase-SAT pipeline
-        # (precision.pallas_pool knob; see BENCH_NOTES.md on when each
-        # wins).
-        self._pool_pallas = (
-            None if int(cfg.get("precision", {}).get("pallas_pool", 1))
-            else False)
+        # None = auto (Pallas on single-device TPU); False = XLA
+        # phase-SAT pipeline (precision.pallas_pool knob; "auto" is
+        # resolved by the solver — off under a mesh, where the kernel
+        # would run inside shard_map, a combination only validated on
+        # the CPU mesh in interpret terms; see BENCH_NOTES.md).
+        pp = str(cfg.get("precision", {}).get("pallas_pool",
+                                              "auto")).lower()
+        self._pool_pallas = False if pp in ("0", "off", "false") else None
 
     def features_s2d(self, scene_ms: jnp.ndarray,
                      scene_pan: jnp.ndarray) -> jnp.ndarray:

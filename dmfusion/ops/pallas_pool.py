@@ -105,20 +105,27 @@ def _kernel(f_hbm, m0, m1, m2, m3, out_ref, slab, sem, *, bi, njt, ph,
 
 
 def phase_pool_fused(feats: jnp.ndarray, patch: int, ni: int, nj: int,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     col_tile: int | None = None) -> jnp.ndarray:
     """(H2, W2, 4C) s2d features -> (ni, nj, 4C) s2d window-mean map.
 
     Bit-compatible with phase_pooled_s2d up to f32 summation order
     (shifted-add window sums here vs SAT differences there).  ``patch``
     must be even; 4C must be lane-aligned-friendly (multiple of 128
-    recommended).
+    recommended).  ``col_tile`` overrides the column-tile target (tests
+    use a tiny value to exercise the multi-stripe path on small maps).
     """
     ph = patch // 2
     h2, w2, c4 = feats.shape
     bi = 8
-    # Column tile: a handful of wide stripes keeps VMEM ~10 MB and the
-    # pad waste low.
-    ncols = max(1, -(-nj // 352))
+    # Column tile: wide stripes keep the DMA count low and the pad waste
+    # small, but the slab + f32 window-sum temporaries all scale with
+    # njt * c4, so the target shrinks as channels grow (w=32/c4=128 ->
+    # 352 cols ~ 10 MB VMEM; w=64/c4=256 would double it past the 16 MB
+    # budget at the same tile).
+    if col_tile is None:
+        col_tile = max(32, _round_up(352 * 128 // c4, 8))
+    ncols = max(1, -(-nj // col_tile))
     njt = _round_up(-(-nj // ncols), 8)
     nr = -(-ni // bi)
     rows_need = nr * bi + ph

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dmfusion.config import prepare_run
-from dmfusion.data.patches import batched_ids
+from dmfusion.data.patches import batched_ids_np
 from dmfusion.data.scene import (Scene, load_scene, split_labels,
                                  split_labels_masked)
 from dmfusion.ops.metrics import aa_oa
@@ -148,11 +148,14 @@ class BaseSolver:
             ids = self._epoch_rng.permutation(ids)
         if trim and len(ids) >= batch:
             ids = ids[: (len(ids) // batch) * batch]
-        chunks, mask, n = batched_ids(jnp.asarray(ids), batch)
-        labels = jnp.asarray(
-            self.labels_flat[np.asarray(chunks).reshape(-1)]
-        ).reshape(chunks.shape)
-        return chunks, labels, mask, n
+        # Everything host-side until ONE push per array: on the tunneled
+        # TPU each eager device op / fetch is a ~30 ms round trip and
+        # this runs every epoch.
+        chunks_np, mask_np, n = batched_ids_np(ids, batch)
+        labels_np = self.labels_flat[chunks_np.reshape(-1)].reshape(
+            chunks_np.shape)
+        return (jnp.asarray(chunks_np), jnp.asarray(labels_np),
+                jnp.asarray(mask_np), n)
 
     # -- reporting ---------------------------------------------------------
     def indicator(self) -> None:

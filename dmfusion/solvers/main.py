@@ -96,9 +96,17 @@ class Solver(BaseSolver):
         cfg = self.cfg
         arity = model_arity(cfg["model_name"])
         if arity == "dense":
-            cfg = dict(cfg, train=dict(
-                cfg["train"],
-                dense_remat=self._resolve_dense_remat(cfg)))
+            # "auto" knobs resolved with mesh/scene knowledge: Pallas
+            # pooling inside shard_map on a real multi-chip mesh is
+            # unvalidated here, so auto turns it off under a mesh
+            # (explicit 1 forces it on).
+            pp = str(cfg["precision"].get("pallas_pool", "auto")).lower()
+            if pp == "auto":
+                pp = 0 if self.mesh is not None else 1
+            cfg = dict(cfg,
+                       train=dict(cfg["train"],
+                                  dense_remat=self._resolve_dense_remat(cfg)),
+                       precision=dict(cfg["precision"], pallas_pool=pp))
         self.model = build_model(cfg)
         if self.scene_args is None:
             self.scene_args = self._make_scene_args(arity)

@@ -428,7 +428,11 @@ class DensePrograms(DualPrograms):
 
         sharded = shard_map(local, mesh=self.mesh,
                             in_specs=(P(), P(), P(), P()), out_specs=P())
-        return jax.checkpoint(sharded)
+        # An explicitly forced train.dense_remat=off is honored here too
+        # (the solver's "auto" always resolves to "on" for mesh runs):
+        # otherwise the outer checkpoint would recompute a band whose
+        # inner blocks no longer remat, the worst of both worlds.
+        return sharded if remat_off else jax.checkpoint(sharded)
 
     def _train_epoch(self, params, opt_state, scene_args, ids, labels,
                      mask):

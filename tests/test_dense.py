@@ -161,10 +161,13 @@ def test_phase_corner_sums_match_pooled(dense_solver):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("hw", [(40, 56), (33, 41)])
-def test_pallas_pool_matches_xla_phase_pool(hw):
+@pytest.mark.parametrize("hw,col_tile", [((40, 56), None), ((33, 41), None),
+                                         ((40, 120), 16)])
+def test_pallas_pool_matches_xla_phase_pool(hw, col_tile):
     """The fused Pallas pooling kernel (interpret mode on CPU) matches
-    the XLA phase-SAT pipeline."""
+    the XLA phase-SAT pipeline — including the multi-column-stripe
+    tiling path (col_tile=16 forces ncols > 1, the shape every
+    image6-scale production map uses)."""
     from dmfusion.models.dense_fusion import phase_pooled_s2d
     from dmfusion.ops.pallas_pool import phase_pool_fused
     h, w = hw
@@ -174,8 +177,10 @@ def test_pallas_pool_matches_xla_phase_pool(hw):
     f = jnp.asarray(rng.normal(size=(h2, w2, 16)).astype(np.float32))
     out_r, out_c = h - patch + 1, w - patch + 1
     ni, nj = -(-out_r // 2), -(-out_c // 2)
-    want = np.asarray(phase_pooled_s2d(f, patch, out_r, out_c))
-    got = np.asarray(phase_pool_fused(f, patch, ni, nj, interpret=True))
+    want = np.asarray(phase_pooled_s2d(f, patch, out_r, out_c,
+                                       use_pallas=False))
+    got = np.asarray(phase_pool_fused(f, patch, ni, nj, interpret=True,
+                                      col_tile=col_tile))
     assert got.shape == want.shape == (ni, nj, 16)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
