@@ -146,6 +146,10 @@ DEFAULTS: dict[str, Any] = {
         "alpha": 0.99,         # RMSprop (reference utils/utils.py:16)
     },
     "train": {"index": 1, "pretrained": 0, "save_best": True,
+              # opt-in reproduction of the reference's in-loop break once
+              # val loss exceeds the best seen (mainsolver.py:74-75); off
+              # by default — see ARCHITECTURE.md divergence #7.
+              "early_stop": 0,
               # dense-family gradient rematerialization: "auto" turns it
               # OFF when the whole-scene activations fit one chip
               # (image6-class at w<=32: 373 -> 222 ms/step measured) and
@@ -190,6 +194,17 @@ DEFAULTS: dict[str, Any] = {
                                        # back-to-back scanned maps
                                        # (BENCH_NOTES.md)
     },
+    # Single-chip streaming for dense full-scene inference: the scene is
+    # processed as N sequential clamped row bands (the same exact band
+    # geometry as the multi-chip band-sharded path) inside one lax.scan,
+    # so no scene-scale dense intermediate ever materializes — this is
+    # what lets image9/image10-class scenes (50M px) render on ONE chip
+    # (their whole-scene s2d intermediates tile-pad to ~26 GB, an OOM).
+    # "auto" = off for scenes that fit (image6-class and below), sized
+    # from the scene area otherwise; 0/off forces the whole-scene pass;
+    # an integer forces that band count.  Ignored under a mesh (bands
+    # run spatially in parallel there instead).
+    "dense_streams": "auto",
     "profile": {"enabled": 0, "dir": "profile/"},
     "debug": {"nans": 0},              # jax_debug_nans sanitizer (SURVEY §5)
 }

@@ -364,12 +364,20 @@ def phase_pooled_s2d(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
     # would reintroduce the lane-padded low-channel layout this function
     # exists to avoid (measured: 16 channel-group slices cost 46 ms per
     # image6 pass vs ~2 ms of block-diagonal MXU matmuls).
+    # f32 accumulation across the four shifted parts (cast to dt once at
+    # the end) — the SAME accumulation scheme as the Pallas kernel
+    # (ops/pallas_pool.py), so the two pool backends agree to f32
+    # summation order.  Mirroring the kernel's precision rule: bf16
+    # operands + f32 preferred_element_type is already the native exact
+    # MXU mode; f32 operands need HIGHEST or the default truncates
+    # inputs to bf16 (~6e-4 abs on window means).
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
     out = None
     for r, u, m in phase_mix_matrices(feats_s2d.shape[-1], patch):
         part = jax.lax.dot_general(
             t[r:r + ni, u:u + nj], jnp.asarray(m, dt),
             (((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)
+            preferred_element_type=jnp.float32, precision=prec)
         out = part if out is None else out + part
     return out.astype(dt)
 
@@ -410,8 +418,10 @@ class Net(nn.Module):
         # storing is 40% faster (373 -> 222 ms/step at image6 w32) —
         # the solver resolves train.dense_remat "auto" accordingly
         # (solvers/main.py::_resolve_dense_remat).
-        remat = str(cfg.get("train", {}).get("dense_remat", "on")).lower()
-        wrap = (lambda m: m) if remat in ("off", "0") else nn.remat
+        from dmfusion.utils.misc import parse_switch
+        remat = parse_switch(cfg.get("train", {}).get("dense_remat", "on"),
+                             "train.dense_remat")
+        wrap = (lambda m: m) if remat == "off" else nn.remat
         CB = wrap(LocalConvBlock)
         RB = wrap(LocalResBlock)
         # The trunk runs at HALF resolution with 4x channels (space-to-
@@ -452,14 +462,18 @@ class Net(nn.Module):
         self.h2_bias = self.param("head2_bias", nn.initializers.zeros_init(),
                                   (ncls,), pdtype)
         self._act = act
-        # None = auto (Pallas on single-device TPU); False = XLA
-        # phase-SAT pipeline (precision.pallas_pool knob; "auto" is
-        # resolved by the solver — off under a mesh, where the kernel
-        # would run inside shard_map, a combination only validated on
-        # the CPU mesh in interpret terms; see BENCH_NOTES.md).
-        pp = str(cfg.get("precision", {}).get("pallas_pool",
-                                              "auto")).lower()
-        self._pool_pallas = False if pp in ("0", "off", "false") else None
+        # precision.pallas_pool: 'on' FORCES the fused kernel (even for
+        # AOT lowering from a non-TPU host — the caller promises a TPU
+        # target), 'off' forces the XLA phase-SAT pipeline, 'auto'
+        # (None) trace-time-detects the platform.  The solver resolves
+        # 'auto' to 'off' under a mesh, where the kernel would run
+        # inside shard_map — a combination only validated on the CPU
+        # mesh in interpret terms (see BENCH_NOTES.md).
+        from dmfusion.utils.misc import parse_switch
+        pp = parse_switch(cfg.get("precision", {}).get("pallas_pool",
+                                                       "auto"),
+                          "precision.pallas_pool")
+        self._pool_pallas = {"off": False, "on": True, "auto": None}[pp]
 
     def features_s2d(self, scene_ms: jnp.ndarray,
                      scene_pan: jnp.ndarray) -> jnp.ndarray:

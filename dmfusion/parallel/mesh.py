@@ -74,6 +74,34 @@ def get_mesh(cfg: Mapping[str, Any] | None = None,
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_global_batches(mesh: Mesh, *arrays: np.ndarray):
+    """Multi-host batch feeding (SURVEY.md §2.3 DP row).
+
+    Under ``jax.process_count() > 1`` a plain ``jnp.asarray`` of a
+    host-computed (steps, B) batch array is NOT a valid global array —
+    each process would create its own single-process array and the
+    sharded epoch programs would fail.  Every dmfusion process computes
+    the IDENTICAL batch id/label/mask arrays (the split permutation is
+    seeded host-side, seed = cfg seed + repeat), so each process hands
+    the full array to ``jax.make_array_from_process_local_data`` with an
+    explicit ``global_shape``: JAX then materializes on-device only the
+    shards this process's addressable devices own (batch axis 1 over
+    'data', steps axis replicated).  Single-process this degenerates to
+    an ordinary committed device_put — bit-identical to ``jnp.asarray``.
+    """
+    out = []
+    for arr in arrays:
+        arr = np.asarray(arr)
+        if arr.shape[-1] % mesh.shape["data"] == 0:
+            spec = P(*([None] * (arr.ndim - 1) + ["data"]))
+        else:  # indivisible batch: replicate; the programs' in-jit
+            spec = P()  # sharding constraints reshard as needed
+        sharding = NamedSharding(mesh, spec)
+        out.append(jax.make_array_from_process_local_data(
+            sharding, arr, arr.shape))
+    return tuple(out)
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard axis 0 (batch / pixel anchors) over 'data', rest replicated."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))

@@ -154,6 +154,17 @@ class BaseSolver:
         chunks_np, mask_np, n = batched_ids_np(ids, batch)
         labels_np = self.labels_flat[chunks_np.reshape(-1)].reshape(
             chunks_np.shape)
+        import jax
+        if self.mesh is not None and jax.process_count() > 1:
+            # Multi-host: assemble proper global arrays — each process
+            # computed the identical host-side batches (seeded split),
+            # and contributes the shards its devices own (SURVEY §2.3 DP
+            # row; a bare jnp.asarray is not a valid global array under
+            # multi-process).
+            from dmfusion.parallel.mesh import make_global_batches
+            ids_d, labels_d, mask_d = make_global_batches(
+                self.mesh, chunks_np, labels_np, mask_np)
+            return ids_d, labels_d, mask_d, n
         return (jnp.asarray(chunks_np), jnp.asarray(labels_np),
                 jnp.asarray(mask_np), n)
 

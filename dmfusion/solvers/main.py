@@ -80,7 +80,9 @@ class Solver(BaseSolver):
         activations comfortably fit one chip (store-residuals training
         is 40% faster, BENCH_NOTES.md), else "on"; band-sharded runs
         always remat (that path exists because memory is tight)."""
-        mode = str(cfg["train"].get("dense_remat", "auto")).lower()
+        from dmfusion.utils.misc import parse_switch
+        mode = parse_switch(cfg["train"].get("dense_remat", "auto"),
+                            "train.dense_remat")
         if mode != "auto":
             return mode
         if self.mesh is not None:
@@ -98,11 +100,24 @@ class Solver(BaseSolver):
         if arity == "dense":
             # "auto" knobs resolved with mesh/scene knowledge: Pallas
             # pooling inside shard_map on a real multi-chip mesh is
-            # unvalidated here, so auto turns it off under a mesh
-            # (explicit 1 forces it on).
-            pp = str(cfg["precision"].get("pallas_pool", "auto")).lower()
+            # unvalidated here, so auto turns it off under a mesh and
+            # otherwise stays auto (trace-time platform detect in Net);
+            # an explicit 'on'/'1' forces the kernel unconditionally.
+            from dmfusion.utils.misc import parse_switch
+            pp = parse_switch(cfg["precision"].get("pallas_pool", "auto"),
+                              "precision.pallas_pool")
+            if pp == "auto" and self.mesh is not None:
+                pp = "off"
             if pp == "auto":
-                pp = 0 if self.mesh is not None else 1
+                # Streamed (sequential-band) inference runs each band
+                # inside a lax.scan body, where a Pallas custom call
+                # loses XLA's cross-iteration overlap (BENCH_NOTES.md) —
+                # auto prefers the XLA phase-SAT pool there.
+                from dmfusion.train.steps import resolve_dense_streams
+                if resolve_dense_streams(cfg.get("dense_streams", "auto"),
+                                         self.scene.ms.shape[0],
+                                         self.scene.ms.shape[1]):
+                    pp = "off"
             cfg = dict(cfg,
                        train=dict(cfg["train"],
                                   dense_remat=self._resolve_dense_remat(cfg)),
@@ -167,6 +182,7 @@ class Solver(BaseSolver):
                 ids, labels, mask.astype(jnp.float32))
             train_loss = float(jnp.mean(losses))
             val_loss = None
+            stop_early = False
             if save_best:
                 vids, vlabels, vmask, _ = self.batches(
                     self.split.valid, cfg["color_batchsize"],
@@ -183,6 +199,21 @@ class Solver(BaseSolver):
                     # the next epoch's update.
                     self.best_params = snapshot(self.params)
                     save_checkpoint(self.best_weights_path(), self.best_params)
+                elif cfg["train"].get("early_stop"):
+                    # Opt-in reproduction of the reference's break once
+                    # val loss exceeds the best seen (mainsolver.py:74-75
+                    # — including its skip of that epoch's "current"
+                    # checkpoint, since the break precedes the save).
+                    stop_early = True
+            if stop_early:
+                self.records["Epoch"].append(self.epoch)
+                self.records["Loss"].append(train_loss)
+                self.records["ValLoss"].append(val_loss)
+                if not cfg.get("nohup"):
+                    print(f"[repeat {self.time}] early stop at epoch "
+                          f"{self.epoch}: val {val_loss:.4f} > best "
+                          f"{best_loss:.4f} (ep {best_epoch})")
+                break
             save_checkpoint(self.cur_weights_path(),
                             {"params": self.params,
                              "opt_state": self.opt_state,

@@ -53,20 +53,28 @@ def snapshot(tree: Any) -> Any:
     return _copy_tree(tree)
 
 
-def _merge_lenient(template: Any, loaded: Any) -> Any:
+def _merge_lenient(template: Any, loaded: Any,
+                   kept: list[str] | None = None, path: str = "") -> Any:
     """Overlay loaded state onto the template, keeping template leaves
-    where the stored file has no (or mis-shaped) counterpart."""
+    where the stored file has no (or mis-shaped) counterpart; the paths
+    of kept (i.e. freshly-initialized) leaves are appended to ``kept``."""
+    def keep(why: str):
+        if kept is not None:
+            kept.append(f"{path or '<root>'} ({why})")
+        return template
+
+    if loaded is None:
+        return keep("missing from checkpoint")
     if isinstance(template, dict):
         if not isinstance(loaded, dict):
-            return template
-        return {k: _merge_lenient(v, loaded[k]) if k in loaded else v
+            return keep("stored node is not a dict")
+        return {k: _merge_lenient(v, loaded.get(k), kept,
+                                  f"{path}/{k}" if path else k)
                 for k, v in template.items()}
-    if loaded is None:
-        return template
     t_shape = getattr(template, "shape", None)
     l_shape = getattr(loaded, "shape", None)
     if t_shape is not None and l_shape is not None and t_shape != l_shape:
-        return template
+        return keep(f"shape {l_shape} != expected {t_shape}")
     return loaded
 
 
@@ -77,7 +85,21 @@ def load_checkpoint(path: str | os.PathLike, template: Any,
     if strict:
         return serialization.from_bytes(template, data)
     state_dict = serialization.msgpack_restore(data)
-    merged = _merge_lenient(serialization.to_state_dict(template), state_dict)
+    kept: list[str] = []
+    merged = _merge_lenient(serialization.to_state_dict(template),
+                            state_dict, kept)
+    if kept:
+        # Non-strict load in the reference's strict=False spirit
+        # (utils/utils.py:91-98) — but LOUD: a checkpoint written by an
+        # older param-tree layout would otherwise restore with silently
+        # reinitialized heads/gains and collapse accuracy under
+        # resume/pretrained with no diagnostic at all.
+        import warnings
+        shown = ", ".join(kept[:8]) + (" ..." if len(kept) > 8 else "")
+        warnings.warn(
+            f"load_checkpoint({os.path.basename(str(path))}): "
+            f"{len(kept)} leaves kept freshly-initialized values "
+            f"(missing or mis-shaped in the file): {shown}")
     return serialization.from_state_dict(template, merged)
 
 

@@ -227,6 +227,30 @@ class SinglePrograms(DualPrograms):
         return (shard_batch(self.mesh, out),)
 
 
+def resolve_dense_streams(value, ms_rows: int, ms_cols: int) -> int:
+    """Resolve the ``dense_streams`` knob to a band count (0 = off).
+
+    'auto' keeps the whole-scene single pass for scenes that fit one
+    chip (image6-class, <= ~8M px — measured 70 ms/map with zero
+    streaming overhead) and otherwise sizes bands so each band's s2d
+    intermediates stay a few GB: at 50M px the whole-scene PAN s2d
+    intermediate tile-pads ~16x to ~26 GB (BENCH_NOTES.md "image9
+    single-chip" — an XLA layout pathology, not live-tensor size), so
+    the divisor targets ~3.2M px per band.  Explicit integers force a
+    band count; 'off'/0/1 force the whole-scene pass.
+    """
+    v = str(value).strip().lower() if value is not None else "auto"
+    if v in ("auto", ""):
+        cells = int(ms_rows) * int(ms_cols)
+        if cells <= 8_000_000:
+            return 0
+        return -(-cells // 3_200_000)
+    if v in ("off", "false", "no"):
+        return 0
+    n = int(v)
+    return n if n > 1 else 0
+
+
 def _get_shard_map():
     try:
         from jax import shard_map as _shard_map
@@ -254,10 +278,11 @@ class DensePrograms(DualPrograms):
     one chip's HBM splits across the mesh (SURVEY.md §2.3 SP/CP row).
     """
 
-    # -- band partition (shared by sharded train/eval/predict) -------------
-    def _band_plan(self, ms_rows: int, mesh: Mesh):
-        """Static per-mesh band geometry, or None when the scene is too
-        small to band-shard (callers fall back to the unsharded path).
+    # -- band partition (shared by sharded AND streamed programs) ----------
+    def _band_plan(self, ms_rows: int, parts: Mesh | int):
+        """Static band geometry for ``parts`` bands (a Mesh means its
+        'data' axis size), or None when the scene is too small to band
+        (callers fall back to the unsharded path).
 
         Every device's scene slice lies fully inside the real scene
         (bands near the bottom are clamped upward rather than zero-padded
@@ -275,7 +300,9 @@ class DensePrograms(DualPrograms):
         from dmfusion.models.dense_fusion import RECEPTIVE_RADIUS
         ps = self.patch
         h = ms_rows - ps + 1          # output map rows
-        data = mesh.shape["data"]
+        data = parts.shape["data"] if isinstance(parts, Mesh) else int(parts)
+        if data < 2:
+            return None
         band = -(-h // data)          # output rows per device
         halo = RECEPTIVE_RADIUS
         # band outputs + window extent + conv halo both sides + 1 row of
@@ -388,8 +415,10 @@ class DensePrograms(DualPrograms):
 
         plan = (self._band_plan(scene_rows, self.mesh)
                 if self.mesh is not None else None)
-        remat_off = str(self.cfg.get("train", {}).get(
-            "dense_remat", "on")).lower() in ("off", "0")
+        from dmfusion.utils.misc import parse_switch
+        remat_off = parse_switch(
+            self.cfg.get("train", {}).get("dense_remat", "on"),
+            "train.dense_remat") == "off"
         if plan is None:
             def anchor_pooled(p, s0, s1, ids_b):
                 win, dt = window_sums(p, s0, s1, ids_b // width,
@@ -462,12 +491,90 @@ class DensePrograms(DualPrograms):
             body, (params, opt_state), (ids, labels, mask))
         return params, opt_state, losses
 
+    def _stream_bands(self, ms_rows: int, ms_cols: int) -> int:
+        """Resolved single-chip streaming band count (0 = whole-scene
+        pass).  Mesh runs never stream — their bands run in parallel."""
+        if self.mesh is not None:
+            return 0
+        return resolve_dense_streams(self.cfg.get("dense_streams", "auto"),
+                                     ms_rows, ms_cols)
+
     def _full_logits_map(self, params, scene_args):
         """One dense pass over the whole scene — spatially sharded over
-        the mesh 'data' axis when one exists."""
+        the mesh 'data' axis when one exists, sequentially streamed in
+        row bands on one device for scenes whose whole-scene
+        intermediates would not fit (cfg ``dense_streams``)."""
         if self.mesh is not None:
             return self.logits_map_sharded(params, scene_args, self.mesh)
+        n = self._stream_bands(scene_args[0].shape[0],
+                               scene_args[0].shape[1])
+        if n:
+            return self.logits_map_streamed(params, scene_args, n)
         return self._logits_map(params, scene_args)
+
+    def _streamed(self, params, scene_args, n_bands: int, band_fn):
+        """Shared streaming driver: ``lax.scan`` over ``n_bands``
+        sequential clamped row bands of the scene, applying ``band_fn``
+        to each (band_ms, band_pan) slab and keeping the ``band`` owned
+        output rows.  EXACTLY the band geometry of the multi-chip
+        shard_map path (``_band_plan``/``_band_slices``) — but bands run
+        one after another on ONE device, so the peak live intermediate
+        is 1/n_bands of the whole-scene pass.  This is what makes
+        image9/image10-class full-scene dense inference possible on a
+        single chip: the whole-scene s2d intermediate tile-pads ~16x at
+        50M px (a ~26 GB allocation — BENCH_NOTES.md "image9
+        single-chip"), while each band's is bounded by the band size.
+        Returns None when the scene is too small to band (callers fall
+        back to the whole-scene pass).
+        """
+        ms, pan = scene_args[0], scene_args[1]
+        plan = self._band_plan(ms.shape[0], n_bands)
+        if plan is None:
+            return None
+        h, data, band, halo, need = plan
+
+        def body(_, i):
+            _, s0, offset = self._band_slices(plan, i, ms.shape[0])
+            band_ms = jax.lax.dynamic_slice_in_dim(ms, s0, need, 0)
+            band_pan = jax.lax.dynamic_slice_in_dim(pan, 4 * s0,
+                                                    4 * need, 0)
+            out = band_fn(params, band_ms, band_pan)
+            return None, jax.lax.dynamic_slice_in_dim(out, offset, band, 0)
+
+        _, stacked = jax.lax.scan(body, None,
+                                  jnp.arange(data, dtype=jnp.int32))
+        return self._assemble_bands(stacked, plan)
+
+    def logits_map_streamed(self, params, scene_args, n_bands: int):
+        """(H, W, C) dense logits map via sequential clamped bands on one
+        device.  Matches the whole-scene pass to SAT-rounding precision
+        (~1e-6 logits — same argument as ``logits_map_sharded``: WSConv
+        features are input-independent and bands are clamped inside the
+        real scene, so only the window-pooling SAT's f32 summation
+        association differs)."""
+        def band_fn(p, band_ms, band_pan):
+            return self.model.apply({"params": p}, band_ms, band_pan,
+                                    self.patch)
+        out = self._streamed(params, scene_args, n_bands, band_fn)
+        if out is None:
+            return self._logits_map(params, scene_args)
+        return out
+
+    def class_map_streamed(self, params, scene_args, n_bands: int):
+        """(H, W) argmax class map via sequential clamped bands: per-band
+        argmax runs in s2d space (``model.class_map``), so neither the
+        full-res logits map nor any scene-scale intermediate ever
+        materializes — the streamed scan output is one int32 row band
+        per step."""
+        def band_fn(p, band_ms, band_pan):
+            return self.model.apply({"params": p}, band_ms, band_pan,
+                                    self.patch, method=self.model.class_map)
+        out = self._streamed(params, scene_args, n_bands, band_fn)
+        if out is None:
+            return self.model.apply({"params": params}, scene_args[0],
+                                    scene_args[1], self.patch,
+                                    method=self.model.class_map)
+        return out
 
     def _eval_epoch(self, params, scene_args, ids, labels, mask):
         logits_map = self._full_logits_map(params, scene_args)
@@ -500,14 +607,20 @@ class DensePrograms(DualPrograms):
     def predict_map(self, params, scene_args):
         """(H, W) argmax class map in one dense pass (the full-scene
         color() workload with zero per-pixel work); spatially sharded
-        when a mesh exists.  Single-device runs argmax per phase block
-        in s2d space (model.class_map) so the lane-padded full-res f32
-        logits map never materializes."""
+        when a mesh exists, streamed in sequential row bands on one
+        device for larger-than-HBM scenes (cfg ``dense_streams``).
+        Single-device passes run argmax per phase block in s2d space
+        (model.class_map) so the lane-padded full-res f32 logits map
+        never materializes."""
         if self.mesh is not None and self._band_plan(
                 scene_args[0].shape[0], self.mesh) is not None:
             logits_map = self.logits_map_sharded(params, scene_args,
                                                  self.mesh)
             return jnp.argmax(logits_map, axis=-1).astype(jnp.int32)
+        n = self._stream_bands(scene_args[0].shape[0],
+                               scene_args[0].shape[1])
+        if n:
+            return self.class_map_streamed(params, scene_args, n)
         return self.model.apply({"params": params}, scene_args[0],
                                 scene_args[1], self.patch,
                                 method=self.model.class_map)

@@ -17,6 +17,28 @@ import random
 import numpy as np
 
 
+def parse_switch(value, name: str = "switch") -> str:
+    """Normalize a tri-state config knob to 'on' / 'off' / 'auto'.
+
+    One parser for every on/off/auto knob (``train.dense_remat``,
+    ``precision.pallas_pool``, ...): YAML booleans (``False`` ->
+    ``'false'``), 0/1, yes/no and on/off all map consistently, and
+    unknown spellings fail loudly at config time instead of silently
+    meaning "on" (a YAML ``dense_remat: false`` used to leave remat
+    enabled because only 'off'/'0' were recognized).
+    """
+    v = str(value).strip().lower()
+    if v in ("off", "0", "false", "no"):
+        return "off"
+    if v in ("on", "1", "true", "yes"):
+        return "on"
+    if v == "auto":
+        return "auto"
+    raise ValueError(
+        f"{name}: unrecognized value {value!r} (use on/off/auto, "
+        "1/0, true/false, or yes/no)")
+
+
 def seed_everything(seed: int = 42) -> None:
     os.environ["PYTHONHASHSEED"] = str(seed)
     random.seed(seed)

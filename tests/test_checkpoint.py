@@ -42,3 +42,41 @@ def test_strict_load_mismatch_raises(tmp_path):
     save_checkpoint(tmp_path / "ck", {"a": jnp.ones((2,))})
     with pytest.raises(Exception):
         load_checkpoint(tmp_path / "ck", {"b": jnp.zeros((2,))}, strict=True)
+
+
+def test_lenient_load_warns_on_unmatched_leaves(tmp_path):
+    """A checkpoint from an older param-tree layout restores leniently
+    but LOUDLY: the unmatched/mis-shaped leaves are named in a warning
+    (ADVICE r2 — silent reinit used to collapse accuracy on resume)."""
+    import warnings
+    import numpy as np
+    from dmfusion.train.checkpoint import load_checkpoint, save_checkpoint
+    old = {"a": np.ones((2, 2), np.float32),
+           "head": {"w": np.ones((3,), np.float32)}}
+    path = tmp_path / "old.msgpack"
+    save_checkpoint(path, old)
+    template = {"a": np.zeros((2, 2), np.float32),
+                "head": {"w": np.zeros((4,), np.float32),   # shape drift
+                         "gain": np.zeros((3,), np.float32)},  # new leaf
+                "alpha": np.zeros((), np.float32)}          # new leaf
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = load_checkpoint(path, template)
+    msgs = [str(w.message) for w in rec]
+    assert any("head/w" in m and "head/gain" in m and "alpha" in m
+               for m in msgs), msgs
+    np.testing.assert_array_equal(out["a"], old["a"])      # matched: loaded
+    np.testing.assert_array_equal(out["head"]["w"], template["head"]["w"])
+
+
+def test_matching_load_is_silent(tmp_path):
+    import warnings
+    import numpy as np
+    from dmfusion.train.checkpoint import load_checkpoint, save_checkpoint
+    tree = {"a": np.ones((2, 2), np.float32)}
+    path = tmp_path / "ok.msgpack"
+    save_checkpoint(path, tree)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        load_checkpoint(path, {"a": np.zeros((2, 2), np.float32)})
+    assert not [w for w in rec if "freshly-initialized" in str(w.message)]

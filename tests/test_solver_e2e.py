@@ -145,3 +145,53 @@ def test_best_weights_reload_consistency(finished_solver):
     finished_solver.time = 0  # rewind repeat counter for path resolution
     finished_solver.test()
     np.testing.assert_array_equal(m1, finished_solver.test_matrix)
+
+
+def test_early_stop_halts_on_first_regression(tmp_path, monkeypatch):
+    """train.early_stop reproduces the reference's in-loop break once
+    val loss exceeds the best seen (mainsolver.py:74-75): training halts
+    at the FIRST regression, and that epoch's current checkpoint is
+    skipped (the reference break precedes the save)."""
+    import jax.numpy as jnp
+    from dmfusion.solvers import build_solver
+    from dmfusion.train.steps import DualPrograms
+
+    cfg = load_config(overrides={
+        "data_city": "synth64", "patch_size": 8, "batchsize": 32,
+        "test_batchsize": 32, "color_batchsize": 32, "epoch": 6,
+        "time": 1, "train_rate": 0.1, "verify_rate": 0.05, "seed": 0,
+        "model_width": 8, "expo_result": str(tmp_path) + "/",
+        "train": {"early_stop": 1},
+        "test": {"index": 0}, "color": {"index": 0},
+        "precision": {"compute_dtype": "float32",
+                      "param_dtype": "float32"},
+    }, prepare=True)
+    solver = build_solver(cfg)
+    ncls = cfg["Categories_Number"]
+    calls = []
+
+    def fake_eval(self, params, scene_args, ids, labels, mask):
+        # Strictly increasing fake val losses: epoch 0 sets the best,
+        # epoch 1 regresses -> stop.
+        calls.append(1)
+        return (jnp.float32(float(len(calls))),
+                jnp.zeros((ncls, ncls), jnp.float32))
+
+    orig_init = DualPrograms.__init__
+
+    def patched_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        self.eval_epoch = fake_eval.__get__(self)
+
+    monkeypatch.setattr(DualPrograms, "__init__", patched_init)
+    solver.run()
+    assert solver.records["Epoch"] == [0, 1]
+    assert solver.records["ValLoss"] == [1.0, 2.0]
+    # Epoch 0 saved the current checkpoint; the stopping epoch did not
+    # (load it and check the stored epoch index).
+    from dmfusion.train.checkpoint import load_checkpoint
+    solver.time = 0
+    ckpt = load_checkpoint(solver.cur_weights_path(),
+                           {"params": solver.params,
+                            "opt_state": solver.opt_state, "epoch": -1})
+    assert int(ckpt["epoch"]) == 0
