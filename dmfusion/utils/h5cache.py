@@ -1,12 +1,16 @@
 """HDF5 patch-cache IO.
 
 The reference scaffolds an offline patch cache (``dataset_cut`` /
-``save_h5`` / ``read_h5``, function/function.py:46-90) but leaves it
-disabled (``use_h5`` raises, basesolver.py:45-46).  Here the cache
-actually works: :func:`save_patches` materializes gathered patch arrays
-for a set of anchor ids, and :func:`read_h5` loads any cache file into a
-dict of arrays.  On TPU the on-the-fly gather is faster than disk, so
-this exists for interchange/debugging parity, not the hot path.
+``save_h5`` / ``read_h5``, function/function.py:46-90) plus a
+cache-backed dataset (``dataset_h5``, train/dataset.py:227-245) but
+leaves both disabled (``use_h5`` raises, basesolver.py:45-46).  Here the
+loop is closed: with ``use_h5`` the solver's ``dataloader`` writes the
+repeat's train patches via :func:`save_patches`, and ``Solver.train``
+reads them back and trains from the cached arrays
+(train/steps.py::H5DualPrograms — row indexing, no window gather),
+numerically identical to the on-the-fly path.  On TPU the on-the-fly
+gather is faster than disk, so this exists for reference parity and
+interchange, not the hot path.
 """
 
 from __future__ import annotations

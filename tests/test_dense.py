@@ -518,3 +518,76 @@ def test_dense_streamed_too_small_falls_back():
     streamed = np.asarray(jax.jit(
         lambda p, a: prog.logits_map_streamed(p, a, 8))(params, args))
     np.testing.assert_allclose(streamed, full, rtol=1e-6, atol=1e-6)
+
+
+def test_dense_remat_aot_probe_decides_by_budget():
+    """train.dense_remat 'auto' decides from XLA's memory_analysis of
+    the ACTUAL remat-off program, not a byte guess (VERDICT r2 weak #5):
+    a budget comfortably above the compiled peak -> 'off' (the fast
+    store-residuals program), a budget below it -> 'on', at two scene
+    scales."""
+    from dmfusion.data.scene import synthetic_scene
+    from dmfusion.solvers.main import dense_remat_probe
+    for size in ((61, 40, 4), (120, 90, 4)):
+        cfg_big = _mini_dense_cfg(size, batchsize=16,
+                                  train={"dense_hbm_budget": 1e15})
+        assert dense_remat_probe(cfg_big, synthetic_scene(cfg_big)) == "off"
+        cfg_tiny = _mini_dense_cfg(size, batchsize=16,
+                                   train={"dense_hbm_budget": 50_000})
+        assert dense_remat_probe(cfg_tiny,
+                                 synthetic_scene(cfg_tiny)) == "on"
+
+
+def test_dense_remat_probe_cached():
+    from dmfusion.data.scene import synthetic_scene
+    from dmfusion.solvers.main import _REMAT_PROBE_CACHE, dense_remat_probe
+    cfg = _mini_dense_cfg((61, 40, 4), batchsize=16,
+                          train={"dense_hbm_budget": 1e15})
+    scene = synthetic_scene(cfg)
+    before = len(_REMAT_PROBE_CACHE)
+    dense_remat_probe(cfg, scene)
+    mid = len(_REMAT_PROBE_CACHE)
+    dense_remat_probe(cfg, scene)
+    assert len(_REMAT_PROBE_CACHE) == mid and mid >= before
+
+
+def test_dense_epoch_full_mode():
+    """train.dense_epoch 'full': one dense pass + one update per epoch.
+    With a single batch the full-batch program must match the minibatch
+    program exactly (same anchors, same single update), and multi-epoch
+    training must still learn."""
+    import jax
+    import jax.numpy as jnp
+    out = {}
+    for mode in ("full", "minibatch"):
+        cfg = _mini_dense_cfg((61, 40, 4), train={"dense_epoch": mode})
+        scene, prog, params, opt_state = _dense_programs(cfg, None)
+        assert prog.dense_epoch_mode == mode
+        rng = np.random.default_rng(7)
+        ids = jnp.asarray(rng.choice(scene.num_pixels, (1, 32),
+                                     replace=False).astype(np.int32))
+        labels = jnp.asarray(scene.label.reshape(-1)[np.asarray(ids)])
+        mask = jnp.ones((1, 32), jnp.float32)
+        params, opt_state, losses = prog.train_epoch(
+            params, opt_state, (scene.ms, scene.pan), ids, labels, mask)
+        out[mode] = (np.asarray(losses), jax.tree.map(np.asarray, params))
+    np.testing.assert_allclose(out["full"][0], out["minibatch"][0],
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out["full"][1]),
+                    jax.tree.leaves(out["minibatch"][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+    # Multi-epoch full-batch training learns (loss decreases).
+    cfg = _mini_dense_cfg((61, 40, 4), train={"dense_epoch": "full"})
+    scene, prog, params, opt_state = _dense_programs(cfg, None)
+    rng = np.random.default_rng(8)
+    ids = jnp.asarray(rng.choice(scene.num_pixels, (2, 32),
+                                 replace=False).astype(np.int32))
+    labels = jnp.asarray(scene.label.reshape(-1)[np.asarray(ids)])
+    mask = jnp.ones((2, 32), jnp.float32)
+    first = last = None
+    for _ in range(8):
+        params, opt_state, losses = prog.train_epoch(
+            params, opt_state, (scene.ms, scene.pan), ids, labels, mask)
+        last = float(losses[0])
+        first = last if first is None else first
+    assert last < first
