@@ -93,22 +93,29 @@ def torch_cpu_baseline(ms_pad: np.ndarray, pan_pad: np.ndarray,
     ys = rng.integers(0, w, n_patches)
     batch = 300  # reference test_batchsize (config.yml:33)
 
-    t0 = time.perf_counter()
-    with torch.no_grad():
-        for start in range(0, n_patches, batch):
-            bx, by = xs[start:start + batch], ys[start:start + batch]
-            ms_list, pan_list = [], []
-            for x, y in zip(bx, by):  # the reference's per-sample crop loop
-                ms_list.append(torch.from_numpy(
-                    ms_pad[x:x + PATCH, y:y + PATCH, :].transpose(2, 0, 1)))
-                pan_list.append(torch.from_numpy(
-                    pan_pad[4 * x:4 * x + 4 * PATCH,
-                            4 * y:4 * y + 4 * PATCH][None]))
-            m = torch.stack(ms_list).float()
-            p = torch.stack(pan_list).float()
-            out = model(m, p)
-            out.argmax(1)
-    dt = time.perf_counter() - t0
+    def one_pass() -> float:
+        t0 = time.perf_counter()
+        with torch.no_grad():
+            for start in range(0, n_patches, batch):
+                bx, by = xs[start:start + batch], ys[start:start + batch]
+                ms_list, pan_list = [], []
+                for x, y in zip(bx, by):  # the reference's per-sample crops
+                    ms_list.append(torch.from_numpy(
+                        ms_pad[x:x + PATCH, y:y + PATCH, :]
+                        .transpose(2, 0, 1)))
+                    pan_list.append(torch.from_numpy(
+                        pan_pad[4 * x:4 * x + 4 * PATCH,
+                                4 * y:4 * y + 4 * PATCH][None]))
+                m = torch.stack(ms_list).float()
+                p = torch.stack(pan_list).float()
+                out = model(m, p)
+                out.argmax(1)
+        return time.perf_counter() - t0
+
+    # 3 repeats, best throughput: a single ~5 s single-core sample is
+    # noisy for the headline vs_baseline ratio (VERDICT r2 weak #6);
+    # best-of-3 gives the baseline its most favorable (fastest) run.
+    dt = min(one_pass() for _ in range(3))
     return n_patches / dt
 
 

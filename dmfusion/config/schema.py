@@ -168,6 +168,9 @@ DEFAULTS: dict[str, Any] = {
               "dense_epoch": "minibatch"},
     "test": {"index": 1, "save_matrix": 1},
     "color": {"index": 0, "supervised": 1, "unsupervised": 1},
+    # Contourlet band diagnostics (reference proof()/visualize_channels,
+    # mainsolver.py:245-431 — never wired into run() there).
+    "proof": {"index": 0, "samples": 4},
     "trans": {
         "patch_size": 1,
         "window_size": 2,

@@ -200,6 +200,9 @@ class BaseSolver:
     def color(self):
         raise NotImplementedError
 
+    def proof(self):
+        raise NotImplementedError
+
     def run(self):
         """Repeat loop (reference mainsolver.py:203-209)."""
         while self.time < self.TIME:
@@ -210,6 +213,8 @@ class BaseSolver:
                 self.test()
             if self.cfg["color"]["index"]:
                 self.color()
+            if self.cfg.get("proof", {}).get("index"):
+                self.proof()
             self.time += 1
 
     def save_records(self) -> None:

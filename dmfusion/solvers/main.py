@@ -389,6 +389,45 @@ class Solver(BaseSolver):
         preds = self.programs.predict(params, self.scene_args, chunks)
         return np.asarray(preds).reshape(-1)[:n]
 
+    def proof(self) -> None:
+        """Contourlet band diagnostics — the reference's
+        ``proof()``/``visualize_channels`` capability
+        (solver/mainsolver.py:245-431): decompose sample MS patches and
+        their PAN windows into the contourlet lowband + 4 directional
+        subbands (the exact transform the ct_lstm family consumes,
+        ops/contourlet.py) and render channel heatmap grids into the
+        run's output dir.  The reference's version depends on a
+        ``model.contourlet_torch`` module missing from its repo and is
+        never called from ``run()``; here it is a real phase behind
+        ``proof.index``.
+        """
+        cfg = self.cfg
+        import jax.numpy as _jnp
+        from dmfusion.data.patches import gather_dual
+        from dmfusion.ops.contourlet import contourlet_decompose
+        from dmfusion.report.viz import channel_grid
+        n = int(cfg.get("proof", {}).get("samples", 4))
+        ids = np.asarray(self.split.labeled[:n]
+                         if self.split is not None
+                         else self.labeled_ids[:n], np.int32)
+        ms_b, pan_b = gather_dual(self.scene.ms, self.scene.pan,
+                                  _jnp.asarray(ids), self.scene.width,
+                                  self.scene.patch)
+        out_dir = cfg["RESULT_output"]
+        os.makedirs(out_dir, exist_ok=True)
+        for tag, batch in (("ms", ms_b), ("pan", pan_b)):
+            low, sub = contourlet_decompose(batch)
+            channel_grid(np.asarray(low),
+                         os.path.join(out_dir,
+                                      f"{self.time}_ct_{tag}_low.png"),
+                         num_channels=low.shape[-1],
+                         title=f"{tag} lowband")
+            channel_grid(np.asarray(sub),
+                         os.path.join(out_dir,
+                                      f"{self.time}_ct_{tag}_dfb.png"),
+                         num_channels=min(16, sub.shape[-1]),
+                         title=f"{tag} dfb")
+
     def color(self) -> None:
         """Full-scene classification maps: map1 = supervised (labeled
         pixels only), map2 = all pixels (reference mainsolver.py:155-201).

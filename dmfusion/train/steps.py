@@ -252,16 +252,18 @@ def resolve_dense_streams(value, ms_rows: int, ms_cols: int) -> int:
     streaming overhead) and otherwise sizes bands so each band's s2d
     intermediates stay a few GB: at 50M px the whole-scene PAN s2d
     intermediate tile-pads ~16x to ~26 GB (BENCH_NOTES.md "image9
-    single-chip" — an XLA layout pathology, not live-tensor size), so
-    the divisor targets ~3.2M px per band.  Explicit integers force a
-    band count; 'off'/0/1 force the whole-scene pass.
+    single-chip" — an XLA layout pathology, not live-tensor size).  The
+    ~6.5M px/band divisor gives image9/image10 8 bands — measured on
+    the chip: 957 ms/map (52.7M px/s) vs 991 ms at 16 bands, both
+    comfortably inside HBM with the f32 scene resident.  Explicit
+    integers force a band count; 'off'/0/1 force the whole-scene pass.
     """
     v = str(value).strip().lower() if value is not None else "auto"
     if v in ("auto", ""):
         cells = int(ms_rows) * int(ms_cols)
         if cells <= 8_000_000:
             return 0
-        return -(-cells // 3_200_000)
+        return -(-cells // 6_500_000)
     if v in ("off", "false", "no"):
         return 0
     n = int(v)
