@@ -401,12 +401,62 @@ class DensePrograms(DualPrograms):
         return self.model.apply({"params": params}, scene_args[0],
                                 scene_args[1], self.patch)
 
-    def _anchor_pooled_fn(self, scene_rows: int):
+    def _band_corner_fns(self):
+        """(build, corners) closures shared by every anchor-pooling
+        variant (unsharded / band-sharded / streamed):
+
+        * ``build(p, band_ms, band_pan) -> (flat_sat, w1, dtype)`` runs
+          the dense features over one scene slab and flattens its
+          summed-area table (half-res :func:`phase_sat` for even patch
+          sizes — chunked MXU cumsums on the 128-lane s2d layout — else
+          the full-res SAT).  ``w1``/``dtype`` are static.
+        * ``corners(state, lx, y) -> (B, D)`` gathers each anchor's
+          window sum from the SAT (16 phase-corner gathers for even
+          patch sizes, 4 full-res corners otherwise).
+
+        Splitting build from corners lets the streamed eval programs
+        compute features + SAT ONCE per band and then gather many id
+        batches from it.
+        """
+        ps = self.patch
+        from dmfusion.models.dense_fusion import (phase_corner_sums,
+                                                  phase_sat,
+                                                  sat_window_sums)
+        if ps % 2 == 0:
+            def build(p, band_ms, band_pan):
+                f = self.model.apply({"params": p}, band_ms, band_pan,
+                                     method=self.model.features_s2d)
+                s = phase_sat(f)
+                return s.reshape(-1, s.shape[-1]), s.shape[1], f.dtype
+
+            def corners(state, lx, y):
+                flat, w1, _ = state
+                return phase_corner_sums(flat, w1, ps, lx, y)
+        else:
+            def build(p, band_ms, band_pan):
+                feats = self.model.apply({"params": p}, band_ms, band_pan,
+                                         method=self.model.features)
+                flat, w1 = sat_window_sums(feats, ps)
+                return flat, w1, feats.dtype
+
+            def corners(state, lx, y):
+                flat, w1, _ = state
+                return (flat[(lx + ps) * w1 + (y + ps)]
+                        - flat[lx * w1 + (y + ps)]
+                        - flat[(lx + ps) * w1 + y]
+                        + flat[lx * w1 + y])
+        return build, corners
+
+    def _anchor_pooled_fn(self, scene_rows: int, scene_cols: int = 0):
         """Build the per-batch anchor->pooled-features function: the
-        unsharded whole-scene version, or — with a mesh — the spatially
-        sharded band version (each device computes features + SAT for its
-        scene band only; anchors are owned by the band containing their
-        window and combined with one ``psum``).
+        unsharded whole-scene version, the spatially sharded band version
+        with a mesh (each device computes features + SAT for its scene
+        band only; anchors are owned by the band containing their window
+        and combined with one ``psum``), or — on one device with
+        ``dense_streams`` resolving to n > 1 bands — the SEQUENTIAL
+        streamed band version (same clamped-band geometry, bands run one
+        after another in a ``lax.scan``), which is what makes
+        image9/image10-class dense *training* fit a single chip.
 
         For even patch sizes features stay in the s2d-2 phase layout and
         the SAT is the half-res :func:`phase_sat` (chunked MXU cumsums on
@@ -415,35 +465,19 @@ class DensePrograms(DualPrograms):
         step, forward AND backward).  Anchor window sums come from 16
         phase-SAT corner gathers (``phase_corner_sums``).
 
-        Both variants are end-to-end gradient-checkpointed (cumsums —
+        All variants are end-to-end gradient-checkpointed (cumsums —
         native or chunked-matmul — linearize under remat, unlike
         reduce_window): the backward recomputes band features + SAT
         rather than storing scene-sized intermediates.
         """
         ps = self.patch
         width = self.width
-        from dmfusion.models.dense_fusion import (phase_corner_sums,
-                                                  phase_sat,
-                                                  sat_window_sums)
-
-        def full_res_corners(flat, w1, lx, y):
-            return (flat[(lx + ps) * w1 + (y + ps)]
-                    - flat[lx * w1 + (y + ps)]
-                    - flat[(lx + ps) * w1 + y]
-                    + flat[lx * w1 + y])
+        build, corners = self._band_corner_fns()
 
         def window_sums(p, band_ms, band_pan, lx, y):
             """(B,) local-row/col anchors -> (B, D) window sums."""
-            if ps % 2 == 0:
-                f = self.model.apply({"params": p}, band_ms, band_pan,
-                                     method=self.model.features_s2d)
-                s = phase_sat(f)
-                flat = s.reshape(-1, s.shape[-1])
-                return phase_corner_sums(flat, s.shape[1], ps, lx, y), f.dtype
-            feats = self.model.apply({"params": p}, band_ms, band_pan,
-                                     method=self.model.features)
-            flat, w1 = sat_window_sums(feats, ps)
-            return full_res_corners(flat, w1, lx, y), feats.dtype
+            state = build(p, band_ms, band_pan)
+            return corners(state, lx, y), state[2]
 
         plan = (self._band_plan(scene_rows, self.mesh)
                 if self.mesh is not None else None)
@@ -452,6 +486,12 @@ class DensePrograms(DualPrograms):
             self.cfg.get("train", {}).get("dense_remat", "on"),
             "train.dense_remat") == "off"
         if plan is None:
+            if self.mesh is None and scene_cols:
+                n = self._stream_bands(scene_rows, scene_cols)
+                splan = self._band_plan(scene_rows, n) if n else None
+                if splan is not None:
+                    return self._anchor_pooled_streamed(window_sums, splan)
+
             def anchor_pooled(p, s0, s1, ids_b):
                 win, dt = window_sums(p, s0, s1, ids_b // width,
                                       ids_b % width)
@@ -495,6 +535,90 @@ class DensePrograms(DualPrograms):
         # inner blocks no longer remat, the worst of both worlds.
         return sharded if remat_off else jax.checkpoint(sharded)
 
+    def _compact_compute_scenes(self, ms, pan):
+        """Whole-scene cast to the compute dtype in lane-COMPACT 2-D
+        layouts, done once so band slicing never leaves a convert inside
+        the band loop.
+
+        Why: in the streamed fwd+bwd program XLA hoists the model's
+        per-band bf16 cast above the band slice into ONE whole-scene
+        convert — and the rank-3 (H, W, 4) bf16 temp it creates gets a
+        tile layout that pads the C=4 minor dim to 128 lanes: 12 GB at
+        image9 scale, an instant OOM (measured by the AOT probe,
+        tools/stream_train_memcheck.py; an optimization_barrier around
+        the slices does NOT stop it).  2-D tensors lay out compactly
+        (the same dump showed the hoisted 2-D PAN convert at 1.0x), so
+        we do the profitable hoist OURSELVES: flatten MS to (H, W*C) —
+        a pure bitcast — cast both scenes once, and reshape each band
+        slab back to rank 3 inside the loop.  The cast commutes exactly
+        with pad/reshape/transpose, so numerics are identical to the
+        model's own post-s2d cast.
+        """
+        from dmfusion.models.common import dtypes
+        dt = dtypes(self.cfg)[0]
+        h0, w0, c0 = ms.shape
+        ms2d = ms.reshape(h0, w0 * c0).astype(dt)
+        pan2d = (pan if pan.ndim == 2 else pan[..., 0]).astype(dt)
+        return ms2d, pan2d, (w0, c0)
+
+    def _anchor_pooled_streamed(self, window_sums, splan):
+        """Sequential-band anchor pooling on ONE device: a ``lax.scan``
+        over the clamped row bands of ``splan`` (exactly the multi-chip
+        ``_band_plan`` geometry), each band computing features + SAT for
+        its slab and contributing the window sums of the anchors it OWNS
+        (ownership masks zero the rest; every anchor is owned by exactly
+        one band, so the f32 accumulation adds its one real contribution
+        to exact zeros).
+
+        The band body is ALWAYS ``jax.checkpoint``-ed — the reverse scan
+        then recomputes one band at a time, so training memory is
+        bounded by a single band's intermediates regardless of
+        ``train.dense_remat`` (which still controls the per-block remat
+        INSIDE the band: 'off' lets the band's backward store its block
+        residuals transiently — per-band-sized, the fast mode the AOT
+        probe picks when they fit).  This is the single-chip dense
+        *training* route for image9/image10-class scenes, whose
+        whole-scene intermediates tile-pad past HBM (BENCH_NOTES.md
+        "image9 single-chip"); the streamed map path
+        (:meth:`class_map_streamed`) is its inference twin.
+        """
+        h, data, band, halo, need = splan
+        ps = self.patch
+        width = self.width
+
+        def anchor_pooled(p, ms, pan, ids_b):
+            x = ids_b // width
+            y = ids_b % width
+            ms2d, pan2d, (w0, c0) = self._compact_compute_scenes(ms, pan)
+            dtc = []
+
+            def band_win(q, i):
+                _, s0, _ = self._band_slices(splan, i, ms.shape[0])
+                band_ms = jax.lax.dynamic_slice_in_dim(
+                    ms2d, s0, need, 0).reshape(need, w0, c0)
+                band_pan = jax.lax.dynamic_slice_in_dim(pan2d, 4 * s0,
+                                                        4 * need, 0)
+                own = (x >= i * band) & (x < jnp.minimum((i + 1) * band, h))
+                lx = jnp.clip(x - s0, 0, need - ps)
+                win, dt = window_sums(q, band_ms, band_pan, lx, y)
+                if not dtc:
+                    dtc.append(dt)
+                return jnp.where(own[:, None], win, 0.0) \
+                          .astype(jnp.float32)
+
+            ck = jax.checkpoint(band_win)
+            out_sd = jax.eval_shape(band_win, p, jnp.int32(0))
+
+            def body(acc, i):
+                return acc + ck(p, i), None
+
+            acc, _ = jax.lax.scan(body,
+                                  jnp.zeros(out_sd.shape, jnp.float32),
+                                  jnp.arange(data, dtype=jnp.int32))
+            return (acc / jnp.float32(ps * ps)).astype(dtc[0])
+
+        return anchor_pooled
+
     def _train_epoch(self, params, opt_state, scene_args, ids, labels,
                      mask):
         # Remat happens per block *inside* the model (nn.remat in
@@ -502,7 +626,8 @@ class DensePrograms(DualPrograms):
         # end to end.  Training gathers the 4 summed-area-table corners
         # per anchor rather than materializing the full (H, W, D)
         # window-mean map — saves a scene-sized f32 tensor per step.
-        anchor_pooled = self._anchor_pooled_fn(scene_args[0].shape[0])
+        anchor_pooled = self._anchor_pooled_fn(scene_args[0].shape[0],
+                                               scene_args[0].shape[1])
 
         def body(carry, batch):
             params, opt_state = carry
@@ -547,7 +672,8 @@ class DensePrograms(DualPrograms):
         dense family at all, so there is no reference behavior to
         diverge from.
         """
-        anchor_pooled = self._anchor_pooled_fn(scene_args[0].shape[0])
+        anchor_pooled = self._anchor_pooled_fn(scene_args[0].shape[0],
+                                               scene_args[0].shape[1])
         ids_f = ids.reshape(-1)
         labels_f = labels.reshape(-1)
         mask_f = mask.reshape(-1)
@@ -639,7 +765,63 @@ class DensePrograms(DualPrograms):
                                     method=self.model.class_map)
         return out
 
+    def _eval_stream_plan(self, scene_args):
+        """Band plan for streamed per-anchor eval/predict, or None when
+        the whole-scene logits map is the right program (mesh runs band-
+        shard instead; small scenes fit in one pass)."""
+        if self.mesh is not None:
+            return None
+        n = self._stream_bands(scene_args[0].shape[0],
+                               scene_args[0].shape[1])
+        return self._band_plan(scene_args[0].shape[0], n) if n else None
+
+    def _band_anchor_scan(self, params, scene_args, splan, batch_fn,
+                          init_carry, ids_like):
+        """Shared streamed eval driver: outer ``lax.scan`` over the
+        clamped bands (features + SAT built ONCE per band), inner scan
+        over the id batches; ``batch_fn(carry, xs, logits, own)`` folds
+        each batch's owned-anchor logits into the carry.  No scene-scale
+        tensor — in particular not the (H, W, ncls) f32 logits map,
+        whose ncls-channel minor dim XLA lane-pads ~10x (25+ GB at
+        image9 scale) — ever materializes.
+        """
+        h, data, band, halo, need = splan
+        ms, pan = scene_args[0], scene_args[1]
+        ps, width = self.patch, self.width
+        build, corners = self._band_corner_fns()
+        ms2d, pan2d, (w0, c0) = self._compact_compute_scenes(ms, pan)
+
+        def band_body(carry, i):
+            _, s0, _ = self._band_slices(splan, i, ms.shape[0])
+            band_ms = jax.lax.dynamic_slice_in_dim(
+                ms2d, s0, need, 0).reshape(need, w0, c0)
+            band_pan = jax.lax.dynamic_slice_in_dim(pan2d, 4 * s0,
+                                                    4 * need, 0)
+            state = build(params, band_ms, band_pan)
+
+            def batch_body(c2, xs):
+                ids_b = xs[0]
+                x = ids_b // width
+                y = ids_b % width
+                own = (x >= i * band) & (x < jnp.minimum((i + 1) * band,
+                                                         h))
+                lx = jnp.clip(x - s0, 0, need - ps)
+                win = corners(state, lx, y)
+                feats = (win / jnp.float32(ps * ps)).astype(state[2])
+                logits = self._head(params, feats)
+                return batch_fn(c2, xs, logits, own), None
+
+            return jax.lax.scan(batch_body, carry, ids_like)[0], None
+
+        carry, _ = jax.lax.scan(band_body, init_carry,
+                                jnp.arange(data, dtype=jnp.int32))
+        return carry
+
     def _eval_epoch(self, params, scene_args, ids, labels, mask):
+        splan = self._eval_stream_plan(scene_args)
+        if splan is not None:
+            return self._eval_epoch_streamed(params, scene_args, ids,
+                                             labels, mask, splan)
         logits_map = self._full_logits_map(params, scene_args)
         c = logits_map.shape[-1]
         flat = logits_map.reshape(-1, c)
@@ -662,7 +844,78 @@ class DensePrograms(DualPrograms):
         (loss_sum, conf), _ = jax.lax.scan(body, init, (ids, labels, mask))
         return loss_sum, conf
 
+    def _eval_epoch_streamed(self, params, scene_args, ids, labels, mask,
+                             splan):
+        """Masked eval via sequential clamped bands: each anchor's loss
+        and confusion contribution is produced by its OWNING band (the
+        ownership mask zeroes every other band's garbage logits), so the
+        accumulated (loss_sum, conf) matches the whole-scene program —
+        each anchor counted exactly once — without a scene-scale logits
+        map.  Numerics: per-anchor head on pooled rows, the training
+        path's classifier (matches the map path's block-diagonal head up
+        to f32 summation order, models/dense_fusion.py::head)."""
+        def batch_fn(carry, xs, logits, own):
+            loss_sum, conf = carry
+            _, labels_b, mask_b = xs
+            m = mask_b * own.astype(mask_b.dtype)
+            per = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels_b.astype(jnp.int32))
+            loss_sum = loss_sum + (per * m).sum()
+            pred = jnp.argmax(logits, axis=-1)
+            conf = conf + confusion_matrix(pred, labels_b,
+                                           self.num_classes, m)
+            return (loss_sum, conf)
+
+        init = (jnp.float32(0.0),
+                jnp.zeros((self.num_classes, self.num_classes),
+                          jnp.float32))
+        return self._band_anchor_scan(params, scene_args, splan, batch_fn,
+                                      init, (ids, labels, mask))
+
     def _predict(self, params, scene_args, ids):
+        splan = self._eval_stream_plan(scene_args)
+        if splan is not None:
+            # Streamed per-anchor prediction: the carry is the (steps, B)
+            # prediction array itself — each band overwrites the rows it
+            # owns (ownership is exclusive, so the final array is fully
+            # written exactly once).  Predictions ride through the inner
+            # scan as xs (sliced per batch) and come back as the stacked
+            # output.
+            preds = jnp.zeros(ids.shape, jnp.int32)
+            h, data, band, halo, need = splan
+            ms, pan = scene_args[0], scene_args[1]
+            ps, width = self.patch, self.width
+            build, corners = self._band_corner_fns()
+            ms2d, pan2d, (w0, c0) = self._compact_compute_scenes(ms, pan)
+
+            def band_body(preds, i):
+                _, s0, _ = self._band_slices(splan, i, ms.shape[0])
+                band_ms = jax.lax.dynamic_slice_in_dim(
+                    ms2d, s0, need, 0).reshape(need, w0, c0)
+                band_pan = jax.lax.dynamic_slice_in_dim(pan2d, 4 * s0,
+                                                        4 * need, 0)
+                state = build(params, band_ms, band_pan)
+
+                def batch_body(_, xs):
+                    ids_b, prev = xs
+                    x = ids_b // width
+                    y = ids_b % width
+                    own = (x >= i * band) & (x < jnp.minimum(
+                        (i + 1) * band, h))
+                    lx = jnp.clip(x - s0, 0, need - ps)
+                    win = corners(state, lx, y)
+                    feats = (win / jnp.float32(ps * ps)).astype(state[2])
+                    logits = self._head(params, feats)
+                    return None, jnp.where(
+                        own, jnp.argmax(logits, -1).astype(jnp.int32),
+                        prev)
+
+                _, preds = jax.lax.scan(batch_body, None, (ids, preds))
+                return preds, None
+
+            preds, _ = jax.lax.scan(band_body, preds,
+                                    jnp.arange(data, dtype=jnp.int32))
+            return preds
         logits_map = self._full_logits_map(params, scene_args)
         pred_map = jnp.argmax(logits_map, axis=-1).astype(jnp.int32)
         return pred_map.reshape(-1)[ids]

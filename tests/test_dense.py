@@ -520,6 +520,92 @@ def test_dense_streamed_too_small_falls_back():
     np.testing.assert_allclose(streamed, full, rtol=1e-6, atol=1e-6)
 
 
+def test_dense_streamed_training_matches_single_device():
+    """Sequential-band streamed dense TRAINING on one device (cfg
+    dense_streams > 1: per-step anchor pooling scans the clamped bands,
+    each band checkpointed) reproduces the whole-scene program: same
+    per-step losses, same updated params.  This is the single-chip
+    image9/image10 dense *training* route — the training twin of
+    class_map_streamed."""
+    import jax
+    import jax.numpy as jnp
+    out = {}
+    for name, streams in (("streamed", 3), ("single", "off")):
+        cfg = _mini_dense_cfg((61, 40, 4), dense_streams=streams)
+        scene, prog, params, opt_state = _dense_programs(cfg, None)
+        expected = 3 if streams == 3 else 0
+        assert prog._stream_bands(scene.ms.shape[0],
+                                  scene.ms.shape[1]) == expected
+        rng = np.random.default_rng(7)
+        ids = jnp.asarray(rng.choice(scene.num_pixels, (3, 32),
+                                     replace=False).astype(np.int32))
+        labels = jnp.asarray(scene.label.reshape(-1)[np.asarray(ids)])
+        mask = jnp.ones((3, 32), jnp.float32)
+        params, opt_state, losses = prog.train_epoch(
+            params, opt_state, (scene.ms, scene.pan), ids, labels, mask)
+        out[name] = (np.asarray(losses), jax.tree.map(np.asarray, params))
+    np.testing.assert_allclose(out["streamed"][0], out["single"][0],
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(out["streamed"][1]),
+                    jax.tree.leaves(out["single"][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+
+def test_dense_streamed_full_epoch_matches():
+    """train.dense_epoch 'full' composes with streaming: the streamed
+    full-batch epoch (ONE update from a band-scanned pooling pass)
+    matches the unstreamed full-batch epoch."""
+    import jax
+    import jax.numpy as jnp
+    out = {}
+    for name, streams in (("streamed", 3), ("single", "off")):
+        cfg = _mini_dense_cfg((61, 40, 4), dense_streams=streams,
+                              train={"index": 1, "pretrained": 0,
+                                     "save_best": True,
+                                     "dense_epoch": "full"})
+        scene, prog, params, opt_state = _dense_programs(cfg, None)
+        assert prog.dense_epoch_mode == "full"
+        rng = np.random.default_rng(9)
+        ids = jnp.asarray(rng.choice(scene.num_pixels, (2, 32),
+                                     replace=False).astype(np.int32))
+        labels = jnp.asarray(scene.label.reshape(-1)[np.asarray(ids)])
+        mask = jnp.ones((2, 32), jnp.float32)
+        params, opt_state, losses = prog.train_epoch(
+            params, opt_state, (scene.ms, scene.pan), ids, labels, mask)
+        out[name] = (np.asarray(losses), jax.tree.map(np.asarray, params))
+    np.testing.assert_allclose(out["streamed"][0], out["single"][0],
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(out["streamed"][1]),
+                    jax.tree.leaves(out["single"][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+
+def test_dense_streamed_eval_and_predict_match():
+    """Streamed eval/predict run per-anchor from each band's SAT (the
+    scene-scale lane-padded logits map never materializes — the
+    image9-scale test-phase route on one chip) and agree with the
+    whole-scene programs."""
+    import jax.numpy as jnp
+    out = {}
+    for name, streams in (("streamed", 3), ("single", "off")):
+        cfg = _mini_dense_cfg((61, 40, 4), dense_streams=streams)
+        scene, prog, params, _ = _dense_programs(cfg, None)
+        if name == "streamed":
+            assert prog._eval_stream_plan((scene.ms, scene.pan)) \
+                is not None
+        ids = jnp.arange(64, dtype=jnp.int32).reshape(2, 32) * 31
+        labels = jnp.asarray(scene.label.reshape(-1)[np.asarray(ids)])
+        mask = jnp.ones((2, 32), jnp.float32)
+        mask = mask.at[1, 30:].set(0.0)   # exercise padding masks
+        loss_sum, conf = prog.eval_epoch(params, (scene.ms, scene.pan),
+                                         ids, labels, mask)
+        preds = prog.predict(params, (scene.ms, scene.pan), ids)
+        out[name] = (float(loss_sum), np.asarray(conf), np.asarray(preds))
+    assert out["streamed"][0] == pytest.approx(out["single"][0], rel=1e-5)
+    assert np.abs(out["streamed"][1] - out["single"][1]).sum() <= 2
+    assert (out["streamed"][2] == out["single"][2]).mean() > 0.99
+
+
 def test_dense_remat_aot_probe_decides_by_budget():
     """train.dense_remat 'auto' decides from XLA's memory_analysis of
     the ACTUAL remat-off program, not a byte guess (VERDICT r2 weak #5):
