@@ -46,7 +46,8 @@ from dmfusion.train.steps import DualPrograms, SinglePrograms, TriPrograms
 _REMAT_PROBE_CACHE: dict[tuple, str] = {}
 
 
-def dense_remat_probe(cfg: Mapping[str, Any], scene) -> str:
+def dense_remat_probe(cfg: Mapping[str, Any], scene,
+                      n_train: int = 0) -> str:
     """AOT-compile the remat-OFF dense train step for the REAL scene
     shapes and read XLA's memory analysis: 'off' (store residuals; 40%
     faster, BENCH_NOTES.md) when the program's live peak fits the
@@ -57,10 +58,13 @@ def dense_remat_probe(cfg: Mapping[str, Any], scene) -> str:
     program's numbers — the same ``memory_analysis()`` machinery as
     ``tools/dense_aot_memcheck.py``.  The budget comes from
     ``train.dense_hbm_budget`` when set, else the device's reported
-    ``bytes_limit``, else the v5e default.  Probes are cached per
-    (scene shape, width, patch, batch, dtype, budget); the probe costs
-    one extra XLA compile per new shape, amortized by the persistent
-    compile cache.
+    ``bytes_limit``, else the v5e default.  The probed program is the
+    one the run will actually execute: ``train.dense_epoch: full``
+    probes ``_train_epoch_full`` at the real (steps, B) epoch geometry
+    (``n_train`` anchors in ``batchsize`` chunks).  Probes are cached
+    per (scene shape, width, patch, batch, mode, steps, dtype, budget);
+    the probe costs one extra XLA compile per new shape, amortized by
+    the persistent compile cache.
     """
     import jax
     w = int(cfg.get("model_width", 32))
@@ -73,8 +77,16 @@ def dense_remat_probe(cfg: Mapping[str, Any], scene) -> str:
             budget = 0.0
         if not budget:
             budget = 15.75 * 1024 ** 3   # one v5e's HBM
+    # Probe the SELECTED epoch program: 'full' mode scores the whole
+    # train split in one pass, so its live peak scales with the real
+    # (steps, B) epoch geometry — probing the minibatch step there
+    # would underestimate and green-light an OOM.
+    mode = str(cfg["train"].get("dense_epoch", "minibatch")).strip().lower()
+    b = int(cfg["batchsize"])
+    steps = max(1, -(-int(n_train) // b)) if (mode == "full" and n_train) \
+        else 1
     key = (tuple(scene.ms.shape), tuple(scene.pan.shape), w,
-           int(cfg["patch_size"]), int(cfg["batchsize"]),
+           int(cfg["patch_size"]), b, mode, steps,
            str(cfg["precision"]["compute_dtype"]), budget)
     if key in _REMAT_PROBE_CACHE:
         return _REMAT_PROBE_CACHE[key]
@@ -90,12 +102,12 @@ def dense_remat_probe(cfg: Mapping[str, Any], scene) -> str:
     pan = jax.ShapeDtypeStruct(tuple(scene.pan.shape), scene.pan.dtype)
     params, opt_state = jax.eval_shape(
         lambda: prog.init(jax.random.PRNGKey(0)))
-    b = int(cfg["batchsize"])
     import jax.numpy as _jnp
-    ids = jax.ShapeDtypeStruct((1, b), _jnp.int32)
-    labels = jax.ShapeDtypeStruct((1, b), _jnp.int32)
-    mask = jax.ShapeDtypeStruct((1, b), _jnp.float32)
-    compiled = jax.jit(prog._train_epoch, donate_argnums=(0, 1)).lower(
+    ids = jax.ShapeDtypeStruct((steps, b), _jnp.int32)
+    labels = jax.ShapeDtypeStruct((steps, b), _jnp.int32)
+    mask = jax.ShapeDtypeStruct((steps, b), _jnp.float32)
+    fn = prog._train_epoch_full if mode == "full" else prog._train_epoch
+    compiled = jax.jit(fn, donate_argnums=(0, 1)).lower(
         params, opt_state, (ms, pan), ids, labels, mask).compile()
     ma = compiled.memory_analysis()
     peak = (ma.temp_size_in_bytes + ma.argument_size_in_bytes +
@@ -154,7 +166,9 @@ class Solver(BaseSolver):
         if self.mesh is not None:
             return "on"
         try:
-            return dense_remat_probe(cfg, self.scene)
+            return dense_remat_probe(
+                cfg, self.scene,
+                len(self.split.train) if self.split else 0)
         except Exception as e:  # pragma: no cover - probe robustness
             import warnings
             warnings.warn(f"dense_remat AOT probe failed ({e}); "

@@ -637,6 +637,36 @@ def test_dense_remat_probe_cached():
     assert len(_REMAT_PROBE_CACHE) == mid and mid >= before
 
 
+def test_dense_remat_probe_full_mode():
+    """With train.dense_epoch 'full' the probe compiles the SELECTED
+    program — _train_epoch_full at the real (steps, B) epoch geometry —
+    not the minibatch step, and keys its cache by mode/steps so the two
+    programs never alias."""
+    from dmfusion.data.scene import synthetic_scene
+    from dmfusion.solvers.main import _REMAT_PROBE_CACHE, dense_remat_probe
+    train_mini = {"index": 1, "pretrained": 0, "save_best": True,
+                  "dense_hbm_budget": 1e15}
+    cfg_mini = _mini_dense_cfg((61, 40, 4), batchsize=16,
+                               train=train_mini)
+    cfg_full = _mini_dense_cfg(
+        (61, 40, 4), batchsize=16,
+        train=dict(train_mini, dense_epoch="full"))
+    scene = synthetic_scene(cfg_full)
+    assert dense_remat_probe(cfg_mini, scene, n_train=40) == "off"
+    n0 = len(_REMAT_PROBE_CACHE)
+    # 40 anchors in batches of 16 -> 3-step epoch; a distinct cache
+    # entry proves the full program (not the cached minibatch one) was
+    # compiled and measured.
+    assert dense_remat_probe(cfg_full, scene, n_train=40) == "off"
+    assert len(_REMAT_PROBE_CACHE) == n0 + 1
+    assert any(("full", 3) == (k[5], k[6]) for k in _REMAT_PROBE_CACHE)
+    cfg_tiny = _mini_dense_cfg(
+        (61, 40, 4), batchsize=16,
+        train=dict(train_mini, dense_epoch="full",
+                   dense_hbm_budget=50_000))
+    assert dense_remat_probe(cfg_tiny, scene, n_train=40) == "on"
+
+
 def test_dense_epoch_full_mode():
     """train.dense_epoch 'full': one dense pass + one update per epoch.
     With a single batch the full-batch program must match the minibatch
