@@ -181,12 +181,14 @@ def main() -> None:
     # caching can hide work, and each timed repeat gets fresh inputs.
     from jax import lax
     from dmfusion.train.steps import DensePrograms
-    # Scan variant uses the XLA phase-SAT pool: the fused Pallas pool
-    # kernel is faster for a SINGLE map call (the product's color()/test()
-    # pattern, measured separately below) but a custom call inside
-    # lax.scan loses XLA's cross-iteration overlap (BENCH_NOTES.md).
+    # UNROLLED scan + Pallas pool: a custom call inside a ROLLED scan
+    # body is a scheduling barrier XLA cannot pipeline around, but with
+    # unroll=DENSE_SCANS the bodies are straight-line code and the
+    # scheduler overlaps each pass's pool/head with its neighbors'
+    # convs — measured 37.1 ms/pass vs 72.3 rolled-XLA-pool and 74.7
+    # single-shot (tools/map_unroll_bench.py, BENCH_NOTES.md round 3).
     dense_cfg = dict(cfg, model_name="dense_fusion", model_width=32,
-                     precision=dict(cfg["precision"], pallas_pool=0))
+                     precision=dict(cfg["precision"], pallas_pool=1))
     dense_model = build_model(dense_cfg)
     prog_d = DensePrograms(dense_model, make_optimizer(dense_cfg, 1),
                            dense_cfg, scene.width, scene.patch, mesh=None)
@@ -200,7 +202,8 @@ def main() -> None:
             return c + pm.sum(), None
         r, _ = lax.scan(body, jnp.int32(0),
                         jnp.arange(1, DENSE_SCANS + 1,
-                                   dtype=s0.dtype) * 1e-6)
+                                   dtype=s0.dtype) * 1e-6,
+                        unroll=DENSE_SCANS)
         return r
 
     dense_run = jax.jit(dense_many)
@@ -250,8 +253,8 @@ def main() -> None:
     ddt = min(ddt, sdt)
     dense_pps = n / ddt   # every pixel of the scene is one classification
     print(f"# dmfusion dense flagship (w32): {dense_pps:.1f} pixels/s — "
-          f"scan-8 XLA-pool {min(dtimes) * 1e3:.0f} ms/pass, single-shot "
-          f"Pallas-pool {sdt * 1e3:.0f} ms "
+          f"unroll-8 Pallas-pool {min(dtimes) * 1e3:.0f} ms/pass, "
+          f"single-shot Pallas-pool {sdt * 1e3:.0f} ms "
           f"(total bench {time.time() - t_start:.0f}s)", file=sys.stderr)
 
     best = max(dense_pps, patchwise)

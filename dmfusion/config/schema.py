@@ -218,6 +218,11 @@ DEFAULTS: dict[str, Any] = {
     # an integer forces that band count.  Ignored under a mesh (bands
     # run spatially in parallel there instead).
     "dense_streams": "auto",
+    # Unroll factor for the streamed band loop (map path): >1 lets XLA
+    # pipeline adjacent bands (custom calls in a rolled scan body are
+    # scheduling barriers), at the cost of ~unroll x one band's live
+    # intermediates.  1 = fully sequential (the memory-bound default).
+    "dense_stream_unroll": 1,
     "profile": {"enabled": 0, "dir": "profile/"},
     "debug": {"nans": 0},              # jax_debug_nans sanitizer (SURVEY §5)
 }

@@ -730,8 +730,15 @@ class DensePrograms(DualPrograms):
             out = band_fn(params, band_ms, band_pan)
             return None, jax.lax.dynamic_slice_in_dim(out, offset, band, 0)
 
+        # dense_stream_unroll > 1 unrolls the band loop so XLA can
+        # pipeline adjacent bands (a custom call inside a ROLLED scan
+        # body is a scheduling barrier — the unroll finding,
+        # BENCH_NOTES.md round 3); live memory grows with the overlap,
+        # so the default stays fully sequential.
+        u = max(1, int(self.cfg.get("dense_stream_unroll", 1)))
         _, stacked = jax.lax.scan(body, None,
-                                  jnp.arange(data, dtype=jnp.int32))
+                                  jnp.arange(data, dtype=jnp.int32),
+                                  unroll=min(u, int(data)))
         return self._assemble_bands(stacked, plan)
 
     def logits_map_streamed(self, params, scene_args, n_bands: int):

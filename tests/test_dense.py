@@ -491,6 +491,21 @@ def test_dense_streamed_map_matches_full():
     assert (cm_stream == cm_full).mean() > 0.9995
 
 
+def test_dense_stream_unroll_exact():
+    """dense_stream_unroll > 1 (pipelined adjacent bands) is the SAME
+    program per band — identical outputs to the sequential scan."""
+    import jax
+    outs = {}
+    for u in (1, 2):
+        cfg = _mini_dense_cfg((61, 40, 4), dense_streams=3,
+                              dense_stream_unroll=u)
+        scene, prog, params, _ = _dense_programs(cfg, None)
+        args = (scene.ms, scene.pan)
+        outs[u] = np.asarray(jax.jit(
+            lambda p, a: prog.logits_map_streamed(p, a, 3))(params, args))
+    np.testing.assert_allclose(outs[2], outs[1], rtol=1e-6, atol=1e-6)
+
+
 def test_dense_streamed_via_cfg_knob():
     """With cfg dense_streams set, eval/predict transparently stream:
     _full_logits_map and predict_map match the unstreamed programs."""

@@ -8,8 +8,11 @@ class_map_streamed) runs the exact multi-chip clamped-band geometry
 *sequentially* inside one lax.scan, bounding intermediates to one band.
 
 Run on the TPU:  python tools/stream_map_bench.py [city] [streams]
-(streams 0 = the knob's auto resolution).  Synthetic scene generated
-on-device (no dataset needed; geometry is what matters).
+    [f32|bf16] [unroll] [pallas]
+(streams 0 = the knob's auto resolution; unroll > 1 pipelines adjacent
+bands — the round-3 unroll finding; pallas 1 forces the fused pool
+kernel).  Synthetic scene generated on-device (no dataset needed;
+geometry is what matters).
 """
 
 import sys
@@ -30,11 +33,13 @@ def main() -> None:
     dtype = jnp.bfloat16 if len(sys.argv) > 3 and sys.argv[3] == "bf16" \
         else jnp.float32
 
+    unroll = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    pallas = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     over = {"data_city": city, "model_name": "dense_fusion",
-            "model_width": 32,
+            "model_width": 32, "dense_stream_unroll": unroll,
             "precision": {"compute_dtype": "bfloat16",
                           "param_dtype": "float32",
-                          "pallas_pool": 0}}
+                          "pallas_pool": pallas}}
     if streams:
         over["dense_streams"] = streams
     cfg = load_config(overrides=over)
