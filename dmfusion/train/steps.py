@@ -721,11 +721,20 @@ class DensePrograms(DualPrograms):
         if plan is None:
             return None
         h, data, band, halo, need = plan
+        # Pre-cast the scenes ONCE in lane-compact 2-D layouts and
+        # reshape slabs per band: slicing a rank-3 (H, W, 4) compute-
+        # dtype scene draws (8,128)-tiled layouts that pad the C=4
+        # minor dim 32x (a 12 GB whole-scene copy at image9 under
+        # unroll>1 — the same pathology _compact_compute_scenes
+        # documents for the training loop).  The cast commutes exactly
+        # with pad/reshape/transpose, so band outputs are identical.
+        ms2d, pan2d, (w0, c0) = self._compact_compute_scenes(ms, pan)
 
         def body(_, i):
             _, s0, offset = self._band_slices(plan, i, ms.shape[0])
-            band_ms = jax.lax.dynamic_slice_in_dim(ms, s0, need, 0)
-            band_pan = jax.lax.dynamic_slice_in_dim(pan, 4 * s0,
+            band_ms = jax.lax.dynamic_slice_in_dim(
+                ms2d, s0, need, 0).reshape(need, w0, c0)
+            band_pan = jax.lax.dynamic_slice_in_dim(pan2d, 4 * s0,
                                                     4 * need, 0)
             out = band_fn(params, band_ms, band_pan)
             return None, jax.lax.dynamic_slice_in_dim(out, offset, band, 0)
