@@ -963,6 +963,32 @@ class DensePrograms(DualPrograms):
             self._predict_map_jit = jax.jit(self.predict_map)
         return self._predict_map_jit
 
+    def _test_confusion(self, params, scene_args, ids, labels, mask):
+        """Test-phase confusion matrix from ONE dense class map.
+
+        The dense family already classifies EVERY pixel in one
+        (streamed) map pass, so the test confusion is a map render + an
+        indexed gather + one segment-sum — instead of re-deriving each
+        test anchor's logits per band (the per-anchor streamed eval
+        recomputes every batch in all bands; at image9's ~34M test
+        anchors that is minutes vs ~1 s here).  Loss is not computed —
+        the test phase only consumes the confusion (the reference's
+        test loop likewise only accumulates the matrix,
+        solver/mainsolver.py:90-148).  Predictions are the class_map's,
+        which match the per-anchor head up to f32 summation order
+        (models/dense_fusion.py::head; tests/test_dense.py pins the
+        agreement)."""
+        pred_map = self.predict_map(params, scene_args)
+        pred = pred_map.reshape(-1)[ids.reshape(-1)]
+        return confusion_matrix(pred, labels.reshape(-1),
+                                self.num_classes, mask.reshape(-1))
+
+    def test_confusion_jitted(self):
+        """Cached jitted :meth:`_test_confusion`."""
+        if not hasattr(self, "_test_confusion_jit"):
+            self._test_confusion_jit = jax.jit(self._test_confusion)
+        return self._test_confusion_jit
+
     def logits_map_sharded(self, params, scene_args, mesh):
         """Spatially-sharded dense logits map: each device computes one
         horizontal band of the scene (rows split over the mesh 'data'

@@ -522,6 +522,38 @@ def test_dense_streamed_via_cfg_knob():
     assert (pm == full.argmax(-1)).mean() > 0.9995
 
 
+def test_dense_test_confusion_matches_eval_epoch():
+    """The map-based test confusion (ONE class-map render + indexed
+    gather — the city-scale test phase, steps.py::_test_confusion)
+    agrees with the per-anchor eval_epoch confusion, streamed and not.
+    The two paths share everything but the head's summation order
+    (block-diagonal s2d head vs per-anchor dense head), so per-class
+    counts match up to logit ties."""
+    import jax
+    import jax.numpy as jnp
+    for streams in ("off", 3):
+        cfg = _mini_dense_cfg((61, 40, 4), dense_streams=streams)
+        scene, prog, params, _ = _dense_programs(cfg, None)
+        args = (scene.ms, scene.pan)
+        rng = np.random.default_rng(5)
+        ids = jnp.asarray(rng.choice(scene.num_pixels, (4, 64),
+                                     replace=False).astype(np.int32))
+        labels = jnp.asarray(scene.label.reshape(-1)[np.asarray(ids)])
+        mask = np.ones((4, 64), np.float32)
+        mask[-1, -7:] = 0.0          # padded tail rows must not count
+        mask = jnp.asarray(mask)
+        conf_map = np.asarray(prog.test_confusion_jitted()(
+            params, args, ids, labels, mask))
+        _, conf_anchor = prog.eval_epoch(params, args, ids, labels, mask)
+        conf_anchor = np.asarray(conf_anchor)
+        assert conf_map.sum() == conf_anchor.sum() == mask.sum()
+        # identical column (target) marginals; rows may differ only by
+        # prediction tie flips, which measure-zero random params avoid.
+        np.testing.assert_array_equal(conf_map.sum(0), conf_anchor.sum(0))
+        assert np.abs(conf_map - conf_anchor).sum() <= \
+            0.005 * conf_anchor.sum()
+
+
 def test_dense_streamed_too_small_falls_back():
     """Scenes too small to band at the requested count fall back to the
     whole-scene pass instead of failing."""
