@@ -522,6 +522,50 @@ def test_dense_streamed_via_cfg_knob():
     assert (pm == full.argmax(-1)).mean() > 0.9995
 
 
+def test_solver_test_routes_streamed_dense_through_map(tmp_path,
+                                                       monkeypatch):
+    """Solver.test() on a STREAMED dense run takes the map-based
+    confusion (one class-map render + indexed gather) and never calls
+    the per-anchor eval — the city-scale test phase
+    (solvers/main.py::test, steps.py::_test_confusion)."""
+    from dmfusion.solvers import build_solver
+    cfg = load_config(overrides={
+        "data_city": "synth64", "model_name": "dense_fusion",
+        "patch_size": 8, "model_width": 8, "batchsize": 64,
+        "test_batchsize": 64, "color_batchsize": 64, "epoch": 1,
+        "time": 1, "train_rate": 0.1, "verify_rate": 0.05, "seed": 0,
+        "dense_streams": 3, "expo_result": str(tmp_path) + "/",
+        # single device: streaming only engages without a mesh (mesh
+        # runs band-shard instead)
+        "mesh": {"data": 1, "model": 1},
+        "precision": {"compute_dtype": "float32",
+                      "param_dtype": "float32"},
+    }, prepare=True)
+    s = build_solver(cfg)
+    s.time = 0
+    s.dataloader()
+    s.train()
+    prog = s.programs
+    assert prog._eval_stream_plan(s.scene_args) is not None
+    calls = {"n": 0}
+    real = prog.test_confusion_jitted()
+
+    def counted(p, a, ids, labels, mask):
+        calls["n"] += 1
+        return real(p, a, ids, labels, mask)
+
+    monkeypatch.setattr(prog, "test_confusion_jitted", lambda: counted)
+
+    def boom(*a, **k):
+        raise AssertionError("streamed dense test must not run the "
+                             "per-anchor eval epoch")
+
+    monkeypatch.setattr(prog, "eval_epoch", boom)
+    s.test()
+    assert calls["n"] == 1
+    assert s.test_matrix.sum() == len(s.split.test)
+
+
 def test_dense_test_confusion_matches_eval_epoch():
     """The map-based test confusion (ONE class-map render + indexed
     gather — the city-scale test phase, steps.py::_test_confusion)
