@@ -821,11 +821,22 @@ class DensePrograms(DualPrograms):
                 y = ids_b % width
                 own = (x >= i * band) & (x < jnp.minimum((i + 1) * band,
                                                          h))
-                lx = jnp.clip(x - s0, 0, need - ps)
-                win = corners(state, lx, y)
-                feats = (win / jnp.float32(ps * ps)).astype(state[2])
-                logits = self._head(params, feats)
-                return batch_fn(c2, xs, logits, own), None
+
+                def live(c):
+                    lx = jnp.clip(x - s0, 0, need - ps)
+                    win = corners(state, lx, y)
+                    feats = (win / jnp.float32(ps * ps)).astype(state[2])
+                    logits = self._head(params, feats)
+                    return batch_fn(c, xs, logits, own)
+
+                # Batches with no anchors in this band contribute only
+                # zeros (the ownership mask), so skip their corner
+                # gathers + head entirely.  Split ids are ascending
+                # (row-major flatnonzero), so consecutive batches span
+                # 1-2 bands and the cond skips ~ (n_bands-1)/n_bands of
+                # the per-anchor work — each anchor is actually scored
+                # once, not n_bands times.
+                return jax.lax.cond(own.any(), live, lambda c: c, c2), None
 
             return jax.lax.scan(batch_body, carry, ids_like)[0], None
 
@@ -918,13 +929,21 @@ class DensePrograms(DualPrograms):
                     y = ids_b % width
                     own = (x >= i * band) & (x < jnp.minimum(
                         (i + 1) * band, h))
-                    lx = jnp.clip(x - s0, 0, need - ps)
-                    win = corners(state, lx, y)
-                    feats = (win / jnp.float32(ps * ps)).astype(state[2])
-                    logits = self._head(params, feats)
-                    return None, jnp.where(
-                        own, jnp.argmax(logits, -1).astype(jnp.int32),
-                        prev)
+
+                    def live(prev_b):
+                        lx = jnp.clip(x - s0, 0, need - ps)
+                        win = corners(state, lx, y)
+                        feats = (win / jnp.float32(ps * ps)) \
+                            .astype(state[2])
+                        logits = self._head(params, feats)
+                        return jnp.where(
+                            own, jnp.argmax(logits, -1).astype(jnp.int32),
+                            prev_b)
+
+                    # Skip batches this band owns nothing of (same
+                    # ascending-ids argument as _band_anchor_scan).
+                    return None, jax.lax.cond(own.any(), live,
+                                              lambda p: p, prev)
 
                 _, preds = jax.lax.scan(batch_body, None, (ids, preds))
                 return preds, None
