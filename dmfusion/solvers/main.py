@@ -390,22 +390,12 @@ class Solver(BaseSolver):
         ids, labels, mask, _ = self.batches(self.split.test,
                                             cfg["test_batchsize"],
                                             round_to=self._eval_round_to())
-        from dmfusion.train.steps import DensePrograms
-        if (isinstance(self.programs, DensePrograms)
-                and self.programs._eval_stream_plan(self.scene_args)
-                is not None):
-            # Streamed (city-scale) dense runs: the class map already
-            # holds every pixel's prediction, so the test confusion is
-            # one map render + an indexed gather (~1 s at image9) —
-            # the per-anchor streamed eval would recompute all ~34M
-            # test anchors in every band (steps.py::_test_confusion).
-            conf = self.programs.test_confusion_jitted()(
-                params, self.scene_args, ids, labels,
-                mask.astype(jnp.float32))
-        else:
-            _, conf = self.programs.eval_epoch(
-                params, self.scene_args, ids, labels,
-                mask.astype(jnp.float32))
+        # Per-anchor eval everywhere except streamed (city-scale) dense
+        # runs, where DensePrograms.test_confusion renders the class map
+        # once and indexes it (~1 s at image9 vs minutes of per-band
+        # anchor recompute) — the dispatch lives in the programs class.
+        conf = self.programs.test_confusion(
+            params, self.scene_args, ids, labels, mask.astype(jnp.float32))
         self.test_matrix = np.asarray(conf)
         self.test_time = self.now() - t0
         self.indicator()

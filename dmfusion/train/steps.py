@@ -180,6 +180,13 @@ class DualPrograms:
         _, preds = jax.lax.scan(body, None, ids)
         return preds
 
+    def test_confusion(self, params, scene_args, ids, labels, mask):
+        """Confusion matrix for the test phase (loss discarded).
+        DensePrograms overrides this with the one-map-render route for
+        streamed city-scale runs; every other program class evaluates
+        per anchor."""
+        return self.eval_epoch(params, scene_args, ids, labels, mask)[1]
+
 
 class TriPrograms(DualPrograms):
     """Three-stream programs: (ms, pan, IHS-fused mspan) windows
@@ -982,31 +989,39 @@ class DensePrograms(DualPrograms):
             self._predict_map_jit = jax.jit(self.predict_map)
         return self._predict_map_jit
 
-    def _test_confusion(self, params, scene_args, ids, labels, mask):
-        """Test-phase confusion matrix from ONE dense class map.
+    def _conf_from_map(self, pred_map, ids, labels, mask):
+        pred = pred_map.reshape(-1)[ids.reshape(-1)]
+        return confusion_matrix(pred, labels.reshape(-1),
+                                self.num_classes, mask.reshape(-1))
+
+    def test_confusion(self, params, scene_args, ids, labels, mask):
+        """Test-phase confusion matrix; for streamed (city-scale) runs,
+        from ONE dense class map.
 
         The dense family already classifies EVERY pixel in one
         (streamed) map pass, so the test confusion is a map render + an
         indexed gather + one segment-sum — instead of re-deriving each
         test anchor's logits per band (the per-anchor streamed eval
-        recomputes every batch in all bands; at image9's ~34M test
+        recomputes band features for every band; at image9's ~34M test
         anchors that is minutes vs ~1 s here).  Loss is not computed —
         the test phase only consumes the confusion (the reference's
         test loop likewise only accumulates the matrix,
         solver/mainsolver.py:90-148).  Predictions are the class_map's,
         which match the per-anchor head up to f32 summation order
         (models/dense_fusion.py::head; tests/test_dense.py pins the
-        agreement)."""
-        pred_map = self.predict_map(params, scene_args)
-        pred = pred_map.reshape(-1)[ids.reshape(-1)]
-        return confusion_matrix(pred, labels.reshape(-1),
-                                self.num_classes, mask.reshape(-1))
-
-    def test_confusion_jitted(self):
-        """Cached jitted :meth:`_test_confusion`."""
-        if not hasattr(self, "_test_confusion_jit"):
-            self._test_confusion_jit = jax.jit(self._test_confusion)
-        return self._test_confusion_jit
+        agreement).  The map comes from ``predict_map_jitted`` — the
+        SAME executable the color phase uses, so a test+color run
+        compiles the band-scan render once (remote-TPU compiles cost
+        minutes); only the tiny gather+segment-sum is a second program.
+        Unstreamed runs keep the base per-anchor path (parity-audited,
+        and the whole-scene logits map there is one cheap pass)."""
+        if self._eval_stream_plan(scene_args) is None:
+            return super().test_confusion(params, scene_args, ids,
+                                          labels, mask)
+        pred_map = self.predict_map_jitted()(params, scene_args)
+        if not hasattr(self, "_conf_from_map_jit"):
+            self._conf_from_map_jit = jax.jit(self._conf_from_map)
+        return self._conf_from_map_jit(pred_map, ids, labels, mask)
 
     def logits_map_sharded(self, params, scene_args, mesh):
         """Spatially-sharded dense logits map: each device computes one

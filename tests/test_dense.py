@@ -548,13 +548,13 @@ def test_solver_test_routes_streamed_dense_through_map(tmp_path,
     prog = s.programs
     assert prog._eval_stream_plan(s.scene_args) is not None
     calls = {"n": 0}
-    real = prog.test_confusion_jitted()
+    real = prog.predict_map_jitted()
 
-    def counted(p, a, ids, labels, mask):
+    def counted(p, a):
         calls["n"] += 1
-        return real(p, a, ids, labels, mask)
+        return real(p, a)
 
-    monkeypatch.setattr(prog, "test_confusion_jitted", lambda: counted)
+    monkeypatch.setattr(prog, "predict_map_jitted", lambda: counted)
 
     def boom(*a, **k):
         raise AssertionError("streamed dense test must not run the "
@@ -586,8 +586,9 @@ def test_dense_test_confusion_matches_eval_epoch():
         mask = np.ones((4, 64), np.float32)
         mask[-1, -7:] = 0.0          # padded tail rows must not count
         mask = jnp.asarray(mask)
-        conf_map = np.asarray(prog.test_confusion_jitted()(
-            params, args, ids, labels, mask))
+        import jax
+        conf_map = np.asarray(jax.jit(prog._conf_from_map)(
+            prog.predict_map_jitted()(params, args), ids, labels, mask))
         _, conf_anchor = prog.eval_epoch(params, args, ids, labels, mask)
         conf_anchor = np.asarray(conf_anchor)
         assert conf_map.sum() == conf_anchor.sum() == mask.sum()

@@ -42,7 +42,7 @@ def chain(x, ws):
     return x
 
 
-def scan_of(shape):
+def scan_of():
     def run(x, ws):
         def body(csum, i):
             out = chain(x + i, ws)
@@ -82,7 +82,7 @@ def main() -> None:
                            (nb, bh, w_, C), jnp.float32).astype(jnp.bfloat16)
     float(xa.sum()); float(xb.sum())
 
-    calib = best_of(scan_of(None),
+    calib = best_of(scan_of(),
                     jnp.zeros((1, 8, 8, C), jnp.bfloat16), ws)
     print(f"calibration (dispatch): {calib * 1e3:.1f} ms", flush=True)
 
@@ -90,7 +90,7 @@ def main() -> None:
         n_px = x.shape[0] * x.shape[1] * x.shape[2]
         flops = 2 * 9 * C * C * n_px * NCONV
         t0 = time.perf_counter()
-        jfn = scan_of(x.shape)
+        jfn = scan_of()
         best = best_of(jfn, x, ws)
         per = (best - calib) / SCANS
         print(f"{label}: {per * 1e3:.2f} ms/pass ({flops / per / 1e12:.1f} "

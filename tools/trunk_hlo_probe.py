@@ -80,8 +80,12 @@ def main() -> None:
     txt = lowered.compile().as_text()
 
     # Every HLO op at the entry-computation level that produces >=32 MB.
+    # Only lines after the ENTRY marker count: fused-computation bodies
+    # are printed BEFORE it, and their interior ops' bytes are already
+    # accounted by the enclosing fusion's output at entry level.
+    entry = txt[txt.index("ENTRY "):] if "ENTRY " in txt else txt
     rows = []
-    for line in txt.splitlines():
+    for line in entry.splitlines():
         m = re.match(r"\s+(?:ROOT )?%?([\w.-]+) = (.*?) "
                      r"(fusion|convolution|custom-call|copy|transpose|"
                      r"dynamic-slice|dynamic-update-slice|concatenate|"
