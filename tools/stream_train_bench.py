@@ -93,8 +93,12 @@ def main() -> None:
           f"{n_bands}-band fwd+bwd)", flush=True)
 
     # Streamed eval: (steps, B) batches, every anchor scored once by its
-    # owning band; no scene-scale logits map.
-    vids = jnp.asarray(rng.integers(0, h * w, (8, 4096)), jnp.int32)
+    # owning band; no scene-scale logits map.  Ids are SORTED like the
+    # solver's real splits (flatnonzero is ascending): consecutive
+    # batches then span 1-2 bands, so the band scan's lax.cond skips the
+    # batches a band owns nothing of (steps.py::_band_anchor_scan).
+    vids = jnp.asarray(np.sort(rng.integers(0, h * w, 8 * 4096))
+                       .reshape(8, 4096), jnp.int32)
     vlabels = jnp.asarray(rng.integers(1, ncls, (8, 4096)), jnp.int32)
     vmask = jnp.ones((8, 4096), jnp.float32)
     t0 = time.perf_counter()
