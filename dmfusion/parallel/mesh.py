@@ -26,23 +26,33 @@ def maybe_initialize_distributed(cfg: Mapping[str, Any] | None = None
     When ``mesh.distributed`` is set (or ``DMFUSION_DISTRIBUTED=1``),
     call ``jax.distributed.initialize()`` so every host contributes its
     local chips to one global ``jax.devices()`` view; coordinator
-    address / process count / process id come from the standard JAX env
-    vars (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID) or
-    the TPU metadata service on Cloud TPU pods.  ``get_mesh`` then lays
+    address / process count / process id come from the
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env
+    vars when set (passed through explicitly — jax's no-arg
+    ``initialize()`` only auto-detects Slurm/OMPI/TPU-pod-metadata
+    clusters, NOT these vars), else jax's cluster auto-detection (the
+    TPU metadata service on Cloud TPU pods).  ``get_mesh`` then lays
     the ('data', 'model') axes over the *global* device list, so DP
     gradients psum over ICI within a slice and DCN across slices with no
     further code changes.
 
     Returns True when running distributed.  Degrades gracefully: single
     process (no env, flag unset) is a no-op; an already-initialized
-    runtime is left untouched.
+    runtime is left untouched.  Exercised for real (2 processes, Gloo
+    collectives, CPU devices) by tests/test_multiprocess.py.
     """
     want = bool(cfg and cfg.get("mesh", {}).get("distributed")) or \
         os.environ.get("DMFUSION_DISTRIBUTED") == "1"
     if not want:
         return False
+    kwargs = {}
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr and os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs = dict(coordinator_address=addr,
+                      num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                      process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
         return True
     except (RuntimeError, ValueError) as e:  # already initialized / no env
         if "already" in str(e).lower():

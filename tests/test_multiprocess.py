@@ -1,0 +1,174 @@
+"""REAL multi-process (multi-host) execution test.
+
+Two OS processes, each owning 4 virtual CPU devices, join one jax
+distributed runtime (Gloo collectives) through the product entry point
+``maybe_initialize_distributed`` and run the actual DP training-epoch
+program over the global 8-device mesh, with batches assembled by
+``make_global_batches`` (jax.make_array_from_process_local_data).  Both
+processes' losses and updated params must match the single-device
+program bit-for-tolerance — upgrading the multi-host path from the
+degenerate single-process test to demonstrated cross-process execution
+(SURVEY.md §2.3 communication-backend row; the reference has no
+distributed capability at all, SURVEY §0).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = """
+import json, os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "float32")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+from dmfusion.parallel.mesh import (get_mesh, make_global_batches,
+                                    maybe_initialize_distributed)
+
+# The product entry point, driven by the documented env vars.
+assert maybe_initialize_distributed({"mesh": {"distributed": 1}}), \\
+    "env-driven jax.distributed.initialize must engage"
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from dmfusion.config import load_config
+from dmfusion.data.scene import synthetic_scene
+from dmfusion.models import build_model
+from dmfusion.train.optim import make_optimizer
+from dmfusion.train.steps import DualPrograms
+
+cfg = load_config(overrides=json.loads(os.environ["DMF_TEST_CFG"]))
+scene = synthetic_scene(cfg)
+mesh = get_mesh(cfg)
+assert mesh.size == 8 and mesh.shape["data"] == 8
+rep = NamedSharding(mesh, P())
+
+def globalize(tree):
+    # Host-identical values -> replicated global arrays: each process
+    # contributes the shards its local devices own.
+    return jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(
+            rep, np.asarray(a), np.shape(a)), tree)
+
+model = build_model(cfg, "gmfnet")
+prog = DualPrograms(model, make_optimizer(cfg, 1), cfg, scene.width,
+                    scene.patch, mesh)
+params, opt_state = prog.init(jax.random.PRNGKey(0))
+params, opt_state = globalize(params), globalize(opt_state)
+scene_args = globalize((scene.ms, scene.pan))
+
+ids = (np.arange(32, dtype=np.int32).reshape(2, 16) * 7) % scene.num_pixels
+labels = scene.label.reshape(-1)[ids.reshape(-1)].reshape(2, 16) \\
+    .astype(np.int32)
+mask = np.ones((2, 16), np.float32)
+ids_d, labels_d, mask_d = make_global_batches(mesh, ids, labels, mask)
+assert len(ids_d.sharding.device_set) == 8   # batch axis over 'data'
+
+params, opt_state, losses = prog.train_epoch(
+    params, opt_state, scene_args, ids_d, labels_d, mask_d)
+out = {
+    "process": jax.process_index(),
+    "losses": np.asarray(losses, np.float64).tolist(),
+    "param_sums": [float(np.asarray(l, np.float64).sum())
+                   for l in jax.tree.leaves(params)],
+}
+print("RESULT " + json.dumps(out), flush=True)
+"""
+
+CFG_OVERRIDES = {
+    "data_city": "synth64",
+    "patch_size": 8,
+    "model_width": 8,
+    "batchsize": 32,
+    "seed": 0,
+    "mesh": {"data": -1, "model": 1},
+    # SGD: linear in grads, so cross-process reduction-order noise stays
+    # within rtol (same recipe as the DP/TP parity tests).
+    "schedule": {"optimizer": "SGD"},
+    "precision": {"compute_dtype": "float32", "param_dtype": "float32"},
+}
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _single_device_reference():
+    from dmfusion.config import load_config
+    from dmfusion.data.scene import synthetic_scene
+    from dmfusion.models import build_model
+    from dmfusion.train.optim import make_optimizer
+    from dmfusion.train.steps import DualPrograms
+
+    cfg = load_config(overrides=CFG_OVERRIDES)
+    scene = synthetic_scene(cfg)
+    model = build_model(cfg, "gmfnet")
+    prog = DualPrograms(model, make_optimizer(cfg, 1), cfg, scene.width,
+                        scene.patch, None)
+    params, opt_state = prog.init(jax.random.PRNGKey(0))
+    ids = (np.arange(32, dtype=np.int32).reshape(2, 16) * 7) \
+        % scene.num_pixels
+    labels = scene.label.reshape(-1)[ids.reshape(-1)].reshape(2, 16) \
+        .astype(np.int32)
+    mask = np.ones((2, 16), np.float32)
+    params, _, losses = prog.train_epoch(
+        params, opt_state, (scene.ms, scene.pan), ids, labels, mask)
+    return (np.asarray(losses, np.float64),
+            [float(np.asarray(l, np.float64).sum())
+             for l in jax.tree.leaves(params)])
+
+
+def test_two_process_train_epoch_matches_single_device(tmp_path):
+    worker = tmp_path / "mp_worker.py"
+    worker.write_text(WORKER)
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the TPU
+    env_base.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "DMF_TEST_CFG": json.dumps(CFG_OVERRIDES),
+        "PYTHONPATH": REPO + os.pathsep + env_base.get("PYTHONPATH", ""),
+    })
+    procs = []
+    for pid in (0, 1):
+        env = dict(env_base, JAX_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)], env=env, cwd=str(tmp_path),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=600)
+        assert p.returncode == 0, stderr[-3000:]
+        line = [ln for ln in stdout.splitlines()
+                if ln.startswith("RESULT ")][-1]
+        outs.append(json.loads(line[len("RESULT "):]))
+
+    assert {o["process"] for o in outs} == {0, 1}
+    # Both processes hold the same replicated result.
+    np.testing.assert_allclose(outs[0]["losses"], outs[1]["losses"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(outs[0]["param_sums"],
+                               outs[1]["param_sums"], rtol=1e-6)
+
+    ref_losses, ref_sums = _single_device_reference()
+    np.testing.assert_allclose(outs[0]["losses"], ref_losses, rtol=1e-5)
+    np.testing.assert_allclose(outs[0]["param_sums"], ref_sums,
+                               rtol=1e-4, atol=1e-6)
