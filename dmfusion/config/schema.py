@@ -146,9 +146,11 @@ DEFAULTS: dict[str, Any] = {
         "alpha": 0.99,         # RMSprop (reference utils/utils.py:16)
     },
     "train": {"index": 1, "pretrained": 0, "save_best": True,
-              # opt-in reproduction of the reference's in-loop break once
-              # val loss exceeds the best seen (mainsolver.py:74-75); off
-              # by default — see ARCHITECTURE.md divergence #7.
+              # dmfusion extension (off by default): stop training at the
+              # first val-loss regression.  The reference's break
+              # (mainsolver.py:74-75) only truncates its validation batch
+              # loop — it never stops training — so there is no reference
+              # behavior to reproduce; see ARCHITECTURE.md divergence #7.
               "early_stop": 0,
               # dense-family gradient rematerialization: "auto" turns it
               # OFF when the whole-scene activations fit one chip
@@ -161,11 +163,14 @@ DEFAULTS: dict[str, Any] = {
               # v5e's 15.75 GiB).
               "dense_hbm_budget": 0,
               # dense-family epoch mode: "minibatch" (reference-style
-              # SGD; recomputes the dense pass per step) or "full" (ONE
+              # SGD; recomputes the dense pass per step), "full" (ONE
               # dense pass + ONE full-batch update per epoch — ~30x
-              # less device work per image6 epoch; opt-in because the
-              # optimization semantics change).
-              "dense_epoch": "minibatch"},
+              # less device work per image6 epoch; different
+              # optimization semantics), or "auto" (full exactly when
+              # the run streams the dense pass in sequential bands —
+              # city-scale scenes on one device, where minibatch would
+              # replay every band pass per step — else minibatch).
+              "dense_epoch": "auto"},
     "test": {"index": 1, "save_matrix": 1},
     "color": {"index": 0, "supervised": 1, "unsupervised": 1},
     # Contourlet band diagnostics (reference proof()/visualize_channels,

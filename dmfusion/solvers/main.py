@@ -62,9 +62,12 @@ def dense_remat_probe(cfg: Mapping[str, Any], scene,
     one the run will actually execute: ``train.dense_epoch: full``
     probes ``_train_epoch_full`` at the real (steps, B) epoch geometry
     (``n_train`` anchors in ``batchsize`` chunks).  Probes are cached
-    per (scene shape, width, patch, batch, mode, steps, dtype, budget);
-    the probe costs one extra XLA compile per new shape, amortized by
-    the persistent compile cache.
+    per (scene shape, width, patch, batch, mode, steps, dtype, budget),
+    in-process AND on disk (``<DMFUSION_XLA_CACHE>/remat_probe.json``):
+    the probe costs one extra XLA compile per new shape per MACHINE —
+    the decision cache matters because the remote-TPU backend cannot
+    reload persisted executables, so without it every process would
+    re-pay the full probe compile.
     """
     import jax
     w = int(cfg.get("model_width", 32))
@@ -90,6 +93,15 @@ def dense_remat_probe(cfg: Mapping[str, Any], scene,
            str(cfg["precision"]["compute_dtype"]), budget)
     if key in _REMAT_PROBE_CACHE:
         return _REMAT_PROBE_CACHE[key]
+    # Disk-cached decisions: on backends where the persistent XLA cache
+    # cannot reload executables (the remote-TPU tunnel), the probe's
+    # compile is minutes of pure overhead per PROCESS — caching the
+    # *decision* (not the executable) makes every process after the
+    # first free for a given shape.
+    cached = _probe_disk_cache_get(key)
+    if cached in ("on", "off"):
+        _REMAT_PROBE_CACHE[key] = cached
+        return cached
 
     from dmfusion.models.registry import build_model
     from dmfusion.train.optim import make_optimizer
@@ -114,7 +126,46 @@ def dense_remat_probe(cfg: Mapping[str, Any], scene,
             ma.output_size_in_bytes - ma.alias_size_in_bytes)
     decision = "off" if peak < 0.92 * budget else "on"
     _REMAT_PROBE_CACHE[key] = decision
+    _probe_disk_cache_put(key, decision)
     return decision
+
+
+def _probe_disk_cache_path() -> str | None:
+    d = os.environ.get("DMFUSION_XLA_CACHE",
+                       os.path.expanduser("~/.cache/dmfusion_xla"))
+    return os.path.join(d, "remat_probe.json") if d else None
+
+
+def _probe_disk_cache_get(key: tuple) -> str | None:
+    path = _probe_disk_cache_path()
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        import json
+        with open(path) as f:
+            return json.load(f).get(repr(key))
+    except Exception:  # pragma: no cover - corrupt cache is ignorable
+        return None
+
+
+def _probe_disk_cache_put(key: tuple, decision: str) -> None:
+    path = _probe_disk_cache_path()
+    if not path:
+        return
+    try:
+        import json
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        data = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        data[repr(key)] = decision
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+    except Exception:  # pragma: no cover - cache write is best-effort
+        pass
 
 
 class Solver(BaseSolver):
@@ -182,35 +233,53 @@ class Solver(BaseSolver):
     def init_model(self) -> None:
         cfg = self.cfg
         arity = model_arity(cfg["model_name"])
+        dense_full = False
         if arity == "dense":
             # "auto" knobs resolved with mesh/scene knowledge: Pallas
             # pooling inside shard_map on a real multi-chip mesh is
             # unvalidated here, so auto turns it off under a mesh and
             # otherwise stays auto (trace-time platform detect in Net);
             # an explicit 'on'/'1' forces the kernel unconditionally.
+            from dmfusion.train.steps import (resolve_dense_epoch,
+                                              resolve_dense_streams)
             from dmfusion.utils.misc import parse_switch
+            streams = 0 if self.mesh is not None else resolve_dense_streams(
+                cfg.get("dense_streams", "auto"),
+                self.scene.ms.shape[0], self.scene.ms.shape[1])
+            # train.dense_epoch 'auto' -> 'full' exactly when streaming:
+            # a streamed minibatch epoch recomputes every band's
+            # whole-scene pass per ~B-anchor step (hundreds of full
+            # passes/epoch).  Resolved BEFORE the remat probe so the
+            # probe compiles the epoch program the run will execute.
+            mode = resolve_dense_epoch(cfg["train"].get("dense_epoch",
+                                                        "auto"), streams)
+            dense_full = mode == "full"
+            if streams and mode == "minibatch" and not cfg.get("nohup"):
+                print("[dmfusion] WARNING: dense_streams is active with "
+                      "train.dense_epoch: minibatch — every step replays "
+                      "all band passes for one minibatch (hundreds of "
+                      "full-scene passes per epoch). train.dense_epoch: "
+                      "full is the intended mode at this scale.")
             pp = parse_switch(cfg["precision"].get("pallas_pool", "auto"),
                               "precision.pallas_pool")
             if pp == "auto" and self.mesh is not None:
                 pp = "off"
-            if pp == "auto":
+            if pp == "auto" and streams:
                 # Streamed (sequential-band) inference runs each band
                 # inside a lax.scan body, where a Pallas custom call
                 # loses XLA's cross-iteration overlap (BENCH_NOTES.md) —
                 # auto prefers the XLA phase-SAT pool there.
-                from dmfusion.train.steps import resolve_dense_streams
-                if resolve_dense_streams(cfg.get("dense_streams", "auto"),
-                                         self.scene.ms.shape[0],
-                                         self.scene.ms.shape[1]):
-                    pp = "off"
+                pp = "off"
             cfg = dict(cfg,
-                       train=dict(cfg["train"],
-                                  dense_remat=self._resolve_dense_remat(cfg)),
+                       train=dict(cfg["train"], dense_epoch=mode),
                        precision=dict(cfg["precision"], pallas_pool=pp))
+            cfg["train"]["dense_remat"] = self._resolve_dense_remat(cfg)
         self.model = build_model(cfg)
         if self.scene_args is None:
             self.scene_args = self._make_scene_args(arity)
-        steps_per_epoch = max(
+        # Full-batch dense epochs perform exactly ONE optimizer update
+        # per epoch, so epoch-indexed schedules must advance per update.
+        steps_per_epoch = 1 if dense_full else max(
             1, -(-max(1, len(self.split.train) if self.split else 1)
                  // cfg["batchsize"]))
         self.tx = make_optimizer(cfg, steps_per_epoch)
@@ -253,6 +322,16 @@ class Solver(BaseSolver):
         cfg = self.cfg
         from dmfusion.train.steps import H5DualPrograms
         if not cfg.get("use_h5") or type(self.programs) is not DualPrograms:
+            return None
+        if jax.process_count() > 1:
+            # The cache-backed path puts whole patch arrays on device
+            # with plain jnp.asarray — single-process arrays that cannot
+            # satisfy cross-process shardings.  Multi-host runs fall
+            # back to scene gathers, whose batches go through
+            # make_global_batches (solvers/base.py).
+            import warnings
+            warnings.warn("use_h5 training input is single-process; "
+                          "multi-host run falls back to scene gathers")
             return None
         path = os.path.join(cfg["RESULT_output"],
                             f"{self.time}_train_patches.h5")
@@ -330,20 +409,19 @@ class Solver(BaseSolver):
                     self.best_params = snapshot(self.params)
                     save_checkpoint(self.best_weights_path(), self.best_params)
                 elif cfg["train"].get("early_stop"):
-                    # Opt-in reproduction of the reference's break once
-                    # val loss exceeds the best seen (mainsolver.py:74-75
-                    # — including its skip of that epoch's "current"
-                    # checkpoint, since the break precedes the save).
+                    # dmfusion EXTENSION (off by default): stop training
+                    # at the first val regression.  NOT reference
+                    # behavior — the reference's break (mainsolver.py:
+                    # 74-75) only truncates the VALIDATION batch loop
+                    # once the partial val-loss sum exceeds the best (a
+                    # monotone-sum early exit with no observable effect
+                    # on best-epoch selection; training runs all epochs
+                    # and curweights saves unconditionally,
+                    # mainsolver.py:83-84).  Our fused eval computes the
+                    # full val loss in one scan, so that truncation has
+                    # nothing to save; the knob instead offers real
+                    # early stopping.  See ARCHITECTURE.md divergence #7.
                     stop_early = True
-            if stop_early:
-                self.records["Epoch"].append(self.epoch)
-                self.records["Loss"].append(train_loss)
-                self.records["ValLoss"].append(val_loss)
-                if not cfg.get("nohup"):
-                    print(f"[repeat {self.time}] early stop at epoch "
-                          f"{self.epoch}: val {val_loss:.4f} > best "
-                          f"{best_loss:.4f} (ep {best_epoch})")
-                break
             save_checkpoint(self.cur_weights_path(),
                             {"params": self.params,
                              "opt_state": self.opt_state,
@@ -351,6 +429,12 @@ class Solver(BaseSolver):
             self.records["Epoch"].append(self.epoch)
             self.records["Loss"].append(train_loss)
             self.records["ValLoss"].append(val_loss)
+            if stop_early:
+                if not cfg.get("nohup"):
+                    print(f"[repeat {self.time}] early stop at epoch "
+                          f"{self.epoch}: val {val_loss:.4f} > best "
+                          f"{best_loss:.4f} (ep {best_epoch})")
+                break
             if not cfg.get("nohup"):
                 msg = (f"[repeat {self.time}] epoch {self.epoch} "
                        f"loss {train_loss:.4f}")

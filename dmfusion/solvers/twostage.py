@@ -290,6 +290,10 @@ class TwoStageSolver(Solver):
                     save_checkpoint(self.best_weights_path(),
                                     self.best_params)
                 elif cfg["train"].get("early_stop"):
+                    # dmfusion extension: stop stage-2 training at the
+                    # first val regression, after saving this epoch's
+                    # current checkpoint + records — same semantics as
+                    # the main solver (solvers/main.py::train).
                     stop_early = True
             save_checkpoint(self.cur_weights_path(),
                             {"params": self.params,

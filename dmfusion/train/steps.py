@@ -266,15 +266,46 @@ def resolve_dense_streams(value, ms_rows: int, ms_cols: int) -> int:
     integers force a band count; 'off'/0/1 force the whole-scene pass.
     """
     v = str(value).strip().lower() if value is not None else "auto"
-    if v in ("auto", ""):
+    # 'on'/'true'/'yes' mean "stream, pick the band count for me" — the
+    # same treatment as 'auto' (the knob's vocabulary already accepts
+    # the off-side spellings below, so the on-side must not crash).
+    if v in ("auto", "", "on", "true", "yes"):
         cells = int(ms_rows) * int(ms_cols)
         if cells <= 8_000_000:
             return 0
         return -(-cells // 6_500_000)
     if v in ("off", "false", "no"):
         return 0
-    n = int(v)
+    try:
+        n = int(v)
+    except ValueError:
+        raise ValueError(
+            f"dense_streams: unrecognized value {value!r} (use "
+            "off/auto/on or an integer band count)") from None
     return n if n > 1 else 0
+
+
+def resolve_dense_epoch(value, streams: int) -> str:
+    """Resolve ``train.dense_epoch`` ('auto' is the default) to
+    'minibatch' or 'full' given the resolved streaming band count.
+
+    'auto' picks 'full' exactly when the run streams the dense pass in
+    sequential bands (city-scale scenes on one device): there, each
+    minibatch step would recompute ALL bands' whole-scene feature
+    passes for ~B anchors — hundreds of full-scene passes per epoch, a
+    multi-hundred-fold slowdown vs the one-pass full-batch epoch that
+    the streamed path was built around (BENCH_NOTES.md streamed image9
+    training: 5.77 s full-batch epochs).  Small scenes and mesh runs
+    keep reference-style minibatch SGD.
+    """
+    mode = str(value if value is not None else "auto").strip().lower()
+    if mode == "auto":
+        return "full" if streams else "minibatch"
+    if mode not in ("minibatch", "full"):
+        raise ValueError(
+            f"train.dense_epoch: unknown mode {value!r} "
+            "(use 'auto', 'minibatch' or 'full')")
+    return mode
 
 
 def _get_shard_map():
@@ -307,14 +338,20 @@ class DensePrograms(DualPrograms):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         mode = str(self.cfg.get("train", {}).get(
-            "dense_epoch", "minibatch")).strip().lower()
+            "dense_epoch", "auto")).strip().lower()
+        if mode == "auto":
+            # The solver resolves 'auto' with scene knowledge before
+            # constructing programs (solvers/main.py::init_model);
+            # directly-constructed programs (tools, tests) default to
+            # reference-style minibatch SGD.
+            mode = "minibatch"
         if mode == "full":
             self.train_epoch = jax.jit(self._train_epoch_full,
                                        donate_argnums=(0, 1))
         elif mode != "minibatch":
             raise ValueError(
                 f"train.dense_epoch: unknown mode {mode!r} "
-                "(use 'minibatch' or 'full')")
+                "(use 'auto', 'minibatch' or 'full')")
         self.dense_epoch_mode = mode
 
     # -- band partition (shared by sharded AND streamed programs) ----------
@@ -799,7 +836,7 @@ class DensePrograms(DualPrograms):
         return self._band_plan(scene_args[0].shape[0], n) if n else None
 
     def _band_anchor_scan(self, params, scene_args, splan, batch_fn,
-                          init_carry, ids_like):
+                          init_carry, ids_like, thread_carry=False):
         """Shared streamed eval driver: outer ``lax.scan`` over the
         clamped bands (features + SAT built ONCE per band), inner scan
         over the id batches; ``batch_fn(carry, xs, logits, own)`` folds
@@ -807,6 +844,16 @@ class DensePrograms(DualPrograms):
         tensor — in particular not the (H, W, ncls) f32 logits map,
         whose ncls-channel minor dim XLA lane-pads ~10x (25+ GB at
         image9 scale) — ever materializes.
+
+        Two carry disciplines share the band/ownership/cond-skip logic:
+          * default: ``init_carry`` is a small accumulator (loss sum,
+            confusion) folded across every batch of every band;
+          * ``thread_carry=True``: ``init_carry`` is a per-batch array
+            of leading dim ``steps`` (e.g. the (steps, B) prediction
+            rows).  Each inner iteration sees only ITS row — threaded
+            through the scan as xs and restacked as the output — so a
+            band updating the rows it owns costs O(B) per batch, never
+            a dynamic update into the full (steps, B) carry.
         """
         h, data, band, halo, need = splan
         ms, pan = scene_args[0], scene_args[1]
@@ -823,6 +870,8 @@ class DensePrograms(DualPrograms):
             state = build(params, band_ms, band_pan)
 
             def batch_body(c2, xs):
+                if thread_carry:
+                    xs, c2 = xs[:-1], xs[-1]
                 ids_b = xs[0]
                 x = ids_b // width
                 y = ids_b % width
@@ -843,8 +892,13 @@ class DensePrograms(DualPrograms):
                 # 1-2 bands and the cond skips ~ (n_bands-1)/n_bands of
                 # the per-anchor work — each anchor is actually scored
                 # once, not n_bands times.
-                return jax.lax.cond(own.any(), live, lambda c: c, c2), None
+                out = jax.lax.cond(own.any(), live, lambda c: c, c2)
+                return (None, out) if thread_carry else (out, None)
 
+            if thread_carry:
+                _, carry = jax.lax.scan(batch_body, None,
+                                        ids_like + (carry,))
+                return carry, None
             return jax.lax.scan(batch_body, carry, ids_like)[0], None
 
         carry, _ = jax.lax.scan(band_body, init_carry,
@@ -912,52 +966,19 @@ class DensePrograms(DualPrograms):
             # Streamed per-anchor prediction: the carry is the (steps, B)
             # prediction array itself — each band overwrites the rows it
             # owns (ownership is exclusive, so the final array is fully
-            # written exactly once).  Predictions ride through the inner
-            # scan as xs (sliced per batch) and come back as the stacked
-            # output.
-            preds = jnp.zeros(ids.shape, jnp.int32)
-            h, data, band, halo, need = splan
-            ms, pan = scene_args[0], scene_args[1]
-            ps, width = self.patch, self.width
-            build, corners = self._band_corner_fns()
-            ms2d, pan2d, (w0, c0) = self._compact_compute_scenes(ms, pan)
+            # written exactly once).  The shared driver threads each
+            # batch's row through the inner scan (thread_carry), so this
+            # reuses the exact band/ownership/cond-skip machinery of the
+            # eval path.
+            def batch_fn(prev_b, xs, logits, own):
+                return jnp.where(own,
+                                 jnp.argmax(logits, -1).astype(jnp.int32),
+                                 prev_b)
 
-            def band_body(preds, i):
-                _, s0, _ = self._band_slices(splan, i, ms.shape[0])
-                band_ms = jax.lax.dynamic_slice_in_dim(
-                    ms2d, s0, need, 0).reshape(need, w0, c0)
-                band_pan = jax.lax.dynamic_slice_in_dim(pan2d, 4 * s0,
-                                                        4 * need, 0)
-                state = build(params, band_ms, band_pan)
-
-                def batch_body(_, xs):
-                    ids_b, prev = xs
-                    x = ids_b // width
-                    y = ids_b % width
-                    own = (x >= i * band) & (x < jnp.minimum(
-                        (i + 1) * band, h))
-
-                    def live(prev_b):
-                        lx = jnp.clip(x - s0, 0, need - ps)
-                        win = corners(state, lx, y)
-                        feats = (win / jnp.float32(ps * ps)) \
-                            .astype(state[2])
-                        logits = self._head(params, feats)
-                        return jnp.where(
-                            own, jnp.argmax(logits, -1).astype(jnp.int32),
-                            prev_b)
-
-                    # Skip batches this band owns nothing of (same
-                    # ascending-ids argument as _band_anchor_scan).
-                    return None, jax.lax.cond(own.any(), live,
-                                              lambda p: p, prev)
-
-                _, preds = jax.lax.scan(batch_body, None, (ids, preds))
-                return preds, None
-
-            preds, _ = jax.lax.scan(band_body, preds,
-                                    jnp.arange(data, dtype=jnp.int32))
-            return preds
+            return self._band_anchor_scan(
+                params, scene_args, splan, batch_fn,
+                jnp.zeros(ids.shape, jnp.int32), (ids,),
+                thread_carry=True)
         logits_map = self._full_logits_map(params, scene_args)
         pred_map = jnp.argmax(logits_map, axis=-1).astype(jnp.int32)
         return pred_map.reshape(-1)[ids]

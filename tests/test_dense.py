@@ -799,3 +799,100 @@ def test_dense_epoch_full_mode():
         last = float(losses[0])
         first = last if first is None else first
     assert last < first
+
+def test_dense_streams_knob_spellings():
+    """dense_streams accepts the on-side spellings as 'auto' (the
+    off-side ones were already accepted) and rejects garbage with an
+    error naming the knob, instead of a bare int() ValueError."""
+    from dmfusion.train.steps import resolve_dense_streams
+    assert resolve_dense_streams("true", 6905, 7300) == \
+        resolve_dense_streams("auto", 6905, 7300)
+    assert resolve_dense_streams("on", 2001, 2101) == 0   # small scene
+    assert resolve_dense_streams("yes", 6905, 7300) >= 8
+    with pytest.raises(ValueError, match="dense_streams"):
+        resolve_dense_streams("sideways", 64, 72)
+
+
+def test_resolve_dense_epoch():
+    """train.dense_epoch 'auto' -> 'full' exactly when the run streams
+    (a streamed minibatch epoch replays every band pass per step);
+    explicit modes pass through; garbage fails naming the knob."""
+    from dmfusion.train.steps import resolve_dense_epoch
+    assert resolve_dense_epoch("auto", 0) == "minibatch"
+    assert resolve_dense_epoch("auto", 8) == "full"
+    assert resolve_dense_epoch(None, 8) == "full"
+    assert resolve_dense_epoch("minibatch", 8) == "minibatch"
+    assert resolve_dense_epoch("full", 0) == "full"
+    with pytest.raises(ValueError, match="dense_epoch"):
+        resolve_dense_epoch("bogus", 0)
+
+
+def test_solver_resolves_dense_epoch_auto(tmp_path, monkeypatch):
+    """Solver.init_model resolves train.dense_epoch 'auto' with scene
+    knowledge: streamed runs get 'full' AND an LR schedule that steps
+    once per update == per epoch (steps_per_epoch 1 — full mode does
+    exactly ONE update per epoch, so the torch-equivalent epoch-indexed
+    schedules would otherwise advance ~steps_per_epoch x too slowly);
+    unstreamed runs keep reference-style minibatch SGD."""
+    from dmfusion.solvers import build_solver
+    import dmfusion.solvers.main as main_mod
+    captured = {}
+    real_make = main_mod.make_optimizer
+
+    def spy(cfg, steps_per_epoch):
+        captured["steps"] = steps_per_epoch
+        captured["mode"] = cfg["train"]["dense_epoch"]
+        return real_make(cfg, steps_per_epoch)
+
+    monkeypatch.setattr(main_mod, "make_optimizer", spy)
+    for streams, want_mode in ((3, "full"), ("off", "minibatch")):
+        cfg = load_config(overrides={
+            "data_city": "synth64", "model_name": "dense_fusion",
+            "patch_size": 8, "model_width": 8, "batchsize": 16,
+            "test_batchsize": 16, "color_batchsize": 16, "epoch": 1,
+            "time": 1, "train_rate": 0.1, "verify_rate": 0.05,
+            "seed": 0, "dense_streams": streams,
+            "expo_result": str(tmp_path) + "/",
+            "mesh": {"data": 1, "model": 1},
+            "precision": {"compute_dtype": "float32",
+                          "param_dtype": "float32"},
+        }, prepare=True)
+        s = build_solver(cfg)
+        s.time = 0
+        s.dataloader()
+        s.init_model()
+        assert s.programs.dense_epoch_mode == want_mode
+        assert captured["mode"] == want_mode
+        if want_mode == "full":
+            assert captured["steps"] == 1
+        else:
+            assert captured["steps"] > 1
+
+
+def test_dense_remat_probe_disk_cache(tmp_path, monkeypatch):
+    """Probe DECISIONS persist on disk (<DMFUSION_XLA_CACHE>/
+    remat_probe.json): a fresh process (simulated by clearing the
+    in-memory cache and booby-trapping program construction) reuses the
+    stored decision without recompiling — the remote-TPU backend cannot
+    reload persisted executables, so without this every process would
+    re-pay the probe's full compile."""
+    import json
+    import os
+    from dmfusion.data.scene import synthetic_scene
+    import dmfusion.solvers.main as main_mod
+    import dmfusion.train.steps as steps_mod
+    monkeypatch.setenv("DMFUSION_XLA_CACHE", str(tmp_path))
+    cfg = _mini_dense_cfg((61, 40, 4), batchsize=16,
+                          train={"dense_hbm_budget": 2e15})
+    scene = synthetic_scene(cfg)
+    assert main_mod.dense_remat_probe(cfg, scene) == "off"
+    path = os.path.join(str(tmp_path), "remat_probe.json")
+    with open(path) as f:
+        assert "off" in json.load(f).values()
+    main_mod._REMAT_PROBE_CACHE.clear()
+
+    def boom(*a, **k):
+        raise AssertionError("probe recompiled despite the disk cache")
+
+    monkeypatch.setattr(steps_mod, "DensePrograms", boom)
+    assert main_mod.dense_remat_probe(cfg, scene) == "off"

@@ -148,10 +148,12 @@ def test_best_weights_reload_consistency(finished_solver):
 
 
 def test_early_stop_halts_on_first_regression(tmp_path, monkeypatch):
-    """train.early_stop reproduces the reference's in-loop break once
-    val loss exceeds the best seen (mainsolver.py:74-75): training halts
-    at the FIRST regression, and that epoch's current checkpoint is
-    skipped (the reference break precedes the save)."""
+    """train.early_stop (dmfusion extension) halts training at the
+    FIRST val regression, after saving that epoch's current checkpoint
+    and records — the reference's break (mainsolver.py:74-75) only
+    truncates its validation batch loop and never stops training, so
+    these are deliberately NOT 'reference parity' semantics
+    (ARCHITECTURE.md divergence #7)."""
     import jax.numpy as jnp
     from dmfusion.solvers import build_solver
     from dmfusion.train.steps import DualPrograms
@@ -187,14 +189,15 @@ def test_early_stop_halts_on_first_regression(tmp_path, monkeypatch):
     solver.run()
     assert solver.records["Epoch"] == [0, 1]
     assert solver.records["ValLoss"] == [1.0, 2.0]
-    # Epoch 0 saved the current checkpoint; the stopping epoch did not
-    # (load it and check the stored epoch index).
+    # The stopping epoch's current checkpoint IS saved (same order as
+    # the two-stage solver: ckpt + records, then break) so resume picks
+    # up exactly where the run stopped.
     from dmfusion.train.checkpoint import load_checkpoint
     solver.time = 0
     ckpt = load_checkpoint(solver.cur_weights_path(),
                            {"params": solver.params,
                             "opt_state": solver.opt_state, "epoch": -1})
-    assert int(ckpt["epoch"]) == 0
+    assert int(ckpt["epoch"]) == 1
 
 
 def test_h5_training_matches_on_the_fly_gather():
@@ -273,3 +276,28 @@ def test_use_h5_solver_trains_from_cache(tmp_path, monkeypatch):
     solver.run()
     assert used["h5"] > 0, "use_h5 must route training through the cache"
     assert len(solver.records["Loss"]) == 2
+
+def test_use_h5_multiprocess_falls_back(tmp_path, monkeypatch):
+    """Under jax.process_count() > 1 the single-process h5 input path is
+    skipped with a warning (its plain jnp.asarray patch arrays cannot
+    satisfy cross-process shardings) — training falls back to scene
+    gathers, whose batches go through make_global_batches."""
+    from dmfusion.solvers import build_solver
+    import dmfusion.solvers.main as main_mod
+    cfg = load_config(overrides={
+        "data_city": "synth64", "patch_size": 8, "use_h5": 1,
+        "model_width": 8, "batchsize": 32, "epoch": 1, "time": 1,
+        "train_rate": 0.1, "verify_rate": 0.05, "seed": 0,
+        "test": {"index": 0}, "color": {"index": 0},
+        "expo_result": str(tmp_path) + "/",
+        "precision": {"compute_dtype": "float32",
+                      "param_dtype": "float32"},
+    }, prepare=True)
+    solver = build_solver(cfg)
+    solver.time = 0
+    solver.dataloader()
+    solver.init_model()
+    assert solver._maybe_h5_training() is not None
+    monkeypatch.setattr(main_mod.jax, "process_count", lambda: 2)
+    with pytest.warns(UserWarning, match="single-process"):
+        assert solver._maybe_h5_training() is None
