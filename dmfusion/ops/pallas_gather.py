@@ -84,7 +84,7 @@ def _block_copy_kernel(patch: int, chans: int, group: int, row_align: int,
 @functools.partial(
     jax.jit, static_argnames=("patch", "width", "group", "interpret"))
 def gather_windows_pallas(scene2d: jnp.ndarray, xs: jnp.ndarray,
-                          ys: jnp.ndarray, patch: int, width: int,
+                          ys: jnp.ndarray, patch: int, width: int, *,
                           group: int = 64,
                           interpret: bool = False) -> jnp.ndarray:
     """(H, W*C) scene view + (B,) x/y pixel anchors -> (B, patch, patch*C).
@@ -147,7 +147,7 @@ def gather_windows_pallas(scene2d: jnp.ndarray, xs: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("width", "patch", "interpret"))
 def gather_one_fast(img: jnp.ndarray, ids: jnp.ndarray, width: int,
-                    patch: int, interpret: bool = False) -> jnp.ndarray:
+                    patch: int, *, interpret: bool = False) -> jnp.ndarray:
     """Accelerated single-image window gather: (B,) ids ->
     (B, patch, patch, C).  B must be a multiple of 64."""
     x = ids // width
@@ -161,18 +161,24 @@ def gather_one_fast(img: jnp.ndarray, ids: jnp.ndarray, width: int,
 
 @functools.partial(jax.jit, static_argnames=("width", "patch", "interpret"))
 def gather_quad_fast(ms, pan_ms, ms_gan, pan_gan, ids, width: int,
-                     patch: int, interpret: bool = False):
+                     patch: int, *, interpret: bool = False):
     """Accelerated 4-stream MS-geometry gather (dataset_qua_dqtl role)."""
-    return tuple(gather_one_fast(img, ids, width, patch, interpret)
+    return tuple(gather_one_fast(img, ids, width, patch,
+                                 interpret=interpret)
                  for img in (ms, pan_ms, ms_gan, pan_gan))
 
 
 @functools.partial(jax.jit, static_argnames=("width", "patch", "interpret"))
-def gather_tri_fast(ms, pan, mspan, ids, width: int, patch: int,
+def gather_tri_fast(ms, pan, mspan, ids, width: int, patch: int, *,
                     interpret: bool = False):
     """Accelerated 3-stream gather (dataset_tri role): MS window + PAN +
     MSPAN windows at 4x geometry."""
-    ms_p, pan_p = gather_dual_fast(ms, pan, ids, width, patch, interpret)
+    # NOTE keyword-only tail: this call once passed ``interpret``
+    # positionally into gather_dual_fast's ``group`` slot — group=False
+    # div-crashed on TPU while group=True silently degraded interpret
+    # (CPU test) runs to per-patch DMA, so no test caught it.
+    ms_p, pan_p = gather_dual_fast(ms, pan, ids, width, patch,
+                                   interpret=interpret)
     x = ids // width
     y = ids % width
     mspan3 = mspan if mspan.ndim == 3 else mspan[..., None]
@@ -187,7 +193,7 @@ def gather_tri_fast(ms, pan, mspan, ids, width: int, patch: int,
 @functools.partial(jax.jit,
                    static_argnames=("width", "patch", "group", "interpret"))
 def gather_dual_fast(ms: jnp.ndarray, pan: jnp.ndarray, ids: jnp.ndarray,
-                     width: int, patch: int, group: int = 64,
+                     width: int, patch: int, *, group: int = 64,
                      interpret: bool = False
                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in accelerated version of

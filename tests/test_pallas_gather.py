@@ -108,3 +108,32 @@ def test_gather_dual_sharded_odd_batch(small_scene, small_cfg):
         assert b_ms.shape[0] == n
         np.testing.assert_array_equal(np.asarray(a_ms), np.asarray(b_ms))
         np.testing.assert_array_equal(np.asarray(a_pan), np.asarray(b_pan))
+
+def test_gather_tri_fast_uses_full_dma_groups(small_scene, small_cfg,
+                                              monkeypatch):
+    """Regression: gather_tri_fast passed ``interpret`` POSITIONALLY into
+    gather_dual_fast's ``group`` slot — group=False div-crashed on TPU
+    (the only place interpret=False flows) while group=True silently
+    degraded CPU interpret runs to per-patch DMA, so the parity tests
+    never caught it.  Every inner gather must use the full 64-patch DMA
+    group; the tail args are keyword-only now."""
+    import dmfusion.ops.pallas_gather as pg
+    sc = small_scene
+    ps = small_cfg["patch_size"]
+    seen = []
+    real = pg.gather_windows_pallas
+
+    def spy(*args, **kw):
+        seen.append(kw.get("group", 64))
+        return real(*args, **kw)
+
+    monkeypatch.setattr(pg, "gather_windows_pallas", spy)
+    ids = jnp.asarray(np.arange(64), jnp.int32)
+    a = pg.gather_tri_fast(sc.ms, sc.pan, sc.pan, ids, sc.width, ps,
+                           interpret=True)
+    from dmfusion.data.patches import gather_tri
+    b = gather_tri(sc.ms, sc.pan, sc.pan, ids, sc.width, ps)
+    assert seen and all(g == 64 for g in seen)
+    for got, want in zip(a, b):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-7)
