@@ -119,15 +119,38 @@ def dense_remat_probe(cfg: Mapping[str, Any], scene,
     labels = jax.ShapeDtypeStruct((steps, b), _jnp.int32)
     mask = jax.ShapeDtypeStruct((steps, b), _jnp.float32)
     fn = prog._train_epoch_full if mode == "full" else prog._train_epoch
-    compiled = jax.jit(fn, donate_argnums=(0, 1)).lower(
-        params, opt_state, (ms, pan), ids, labels, mask).compile()
-    ma = compiled.memory_analysis()
+    try:
+        ma = _probe_compile(fn, params, opt_state, (ms, pan), ids,
+                            labels, mask)
+    except Exception as e:
+        # On device backends the compiler itself enforces the HBM
+        # budget: an over-budget remat-off program raises
+        # RESOURCE_EXHAUSTED instead of returning an analysis.  That IS
+        # the probe's answer — the program does not fit, remat is
+        # needed — so cache 'on' rather than wasting this compile and
+        # falling through to the byte-estimate guess (observed on the
+        # image10 streamed full-batch epoch: minutes of compile, then
+        # the allocation dump).
+        if "RESOURCE_EXHAUSTED" in str(e) or "exhausted" in str(e).lower():
+            decision = "on"
+            _REMAT_PROBE_CACHE[key] = decision
+            _probe_disk_cache_put(key, decision)
+            return decision
+        raise
     peak = (ma.temp_size_in_bytes + ma.argument_size_in_bytes +
             ma.output_size_in_bytes - ma.alias_size_in_bytes)
     decision = "off" if peak < 0.92 * budget else "on"
     _REMAT_PROBE_CACHE[key] = decision
     _probe_disk_cache_put(key, decision)
     return decision
+
+
+def _probe_compile(fn, *args):
+    """AOT-compile the probe program and return its memory analysis
+    (split out so tests can stub the expensive compile)."""
+    import jax
+    return jax.jit(fn, donate_argnums=(0, 1)).lower(*args) \
+              .compile().memory_analysis()
 
 
 def _probe_disk_cache_path() -> str | None:

@@ -896,3 +896,65 @@ def test_dense_remat_probe_disk_cache(tmp_path, monkeypatch):
 
     monkeypatch.setattr(steps_mod, "DensePrograms", boom)
     assert main_mod.dense_remat_probe(cfg, scene) == "off"
+
+
+def test_explicit_minibatch_with_streams_warns(tmp_path, capsys):
+    """Explicitly pairing train.dense_epoch: minibatch with active
+    streaming (every step replays all band passes) prints a loud
+    warning naming the intended mode."""
+    from dmfusion.solvers import build_solver
+    cfg = load_config(overrides={
+        "data_city": "synth64", "model_name": "dense_fusion",
+        "patch_size": 8, "model_width": 8, "batchsize": 16,
+        "test_batchsize": 16, "color_batchsize": 16, "epoch": 1,
+        "time": 1, "train_rate": 0.1, "verify_rate": 0.05, "seed": 0,
+        "dense_streams": 3, "train": {"dense_epoch": "minibatch"},
+        "expo_result": str(tmp_path) + "/",
+        "mesh": {"data": 1, "model": 1},
+        "precision": {"compute_dtype": "float32",
+                      "param_dtype": "float32"},
+    }, prepare=True)
+    s = build_solver(cfg)
+    s.time = 0
+    s.dataloader()
+    s.init_model()
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "dense_epoch" in out
+    assert s.programs.dense_epoch_mode == "minibatch"
+
+
+def test_dense_remat_probe_resource_exhausted_means_on(tmp_path,
+                                                       monkeypatch):
+    """Device backends enforce the HBM budget at COMPILE time: an
+    over-budget remat-off program raises RESOURCE_EXHAUSTED instead of
+    returning a memory analysis.  The probe must treat that as its
+    answer ('on' — the program does not fit) and disk-cache it, not
+    fall through to the byte-estimate guess."""
+    import json
+    import os
+    from dmfusion.data.scene import synthetic_scene
+    import dmfusion.solvers.main as main_mod
+    monkeypatch.setenv("DMFUSION_XLA_CACHE", str(tmp_path))
+
+    def boom(fn, *args):
+        raise RuntimeError("RESOURCE_EXHAUSTED: Attempting to reserve "
+                           "17.18G at the bottom of memory.")
+
+    monkeypatch.setattr(main_mod, "_probe_compile", boom)
+    cfg = _mini_dense_cfg((61, 40, 4), batchsize=16,
+                          train={"dense_hbm_budget": 3e15})
+    scene = synthetic_scene(cfg)
+    assert main_mod.dense_remat_probe(cfg, scene) == "on"
+    path = os.path.join(str(tmp_path), "remat_probe.json")
+    with open(path) as f:
+        assert "on" in json.load(f).values()
+    # Unrelated compile failures still propagate (the solver's
+    # byte-estimate fallback owns those).
+    def other(fn, *args):
+        raise RuntimeError("something else entirely")
+
+    monkeypatch.setattr(main_mod, "_probe_compile", other)
+    main_mod._REMAT_PROBE_CACHE.clear()
+    os.remove(path)
+    with pytest.raises(RuntimeError, match="something else"):
+        main_mod.dense_remat_probe(cfg, scene)
