@@ -130,8 +130,16 @@ def dense_remat_probe(cfg: Mapping[str, Any], scene,
         # needed — so cache 'on' rather than wasting this compile and
         # falling through to the byte-estimate guess (observed on the
         # image10 streamed full-batch epoch: minutes of compile, then
-        # the allocation dump).
-        if "RESOURCE_EXHAUSTED" in str(e) or "exhausted" in str(e).lower():
+        # the allocation dump).  The tunnel backend wraps the same
+        # failure differently — "INTERNAL: ... HTTP 500 ... Ran out of
+        # memory in memory space hbm. ... Exceeded hbm capacity"
+        # (observed on the image5 run) — so match the OOM phrasings,
+        # not just the canonical status code.
+        msg = str(e).lower()
+        oom = ("resource_exhausted" in msg or "exhausted" in msg
+               or "ran out of memory" in msg or "out of memory" in msg
+               or "exceeded hbm capacity" in msg)
+        if oom:
             decision = "on"
             _REMAT_PROBE_CACHE[key] = decision
             _probe_disk_cache_put(key, decision)

@@ -936,18 +936,33 @@ def test_dense_remat_probe_resource_exhausted_means_on(tmp_path,
     import dmfusion.solvers.main as main_mod
     monkeypatch.setenv("DMFUSION_XLA_CACHE", str(tmp_path))
 
-    def boom(fn, *args):
-        raise RuntimeError("RESOURCE_EXHAUSTED: Attempting to reserve "
-                           "17.18G at the bottom of memory.")
-
-    monkeypatch.setattr(main_mod, "_probe_compile", boom)
+    # Both observed phrasings: the canonical status code (device
+    # backend, image10 run) and the tunnel's INTERNAL/HTTP-500 wrapper
+    # (image5 run) whose message only says "Ran out of memory ...
+    # Exceeded hbm capacity".
+    oom_messages = [
+        "RESOURCE_EXHAUSTED: Attempting to reserve "
+        "17.18G at the bottom of memory.",
+        "INTERNAL: http://127.0.0.1:8093/remote_compile: HTTP 500: "
+        "tpu_compile_helper subprocess exit code 1 ... XLA:TPU compile "
+        "permanent error. Ran out of memory in memory space hbm. Used "
+        "15.77G of 15.75G hbm. Exceeded hbm capacity by 22.07M.",
+    ]
     cfg = _mini_dense_cfg((61, 40, 4), batchsize=16,
                           train={"dense_hbm_budget": 3e15})
     scene = synthetic_scene(cfg)
-    assert main_mod.dense_remat_probe(cfg, scene) == "on"
     path = os.path.join(str(tmp_path), "remat_probe.json")
-    with open(path) as f:
-        assert "on" in json.load(f).values()
+    for msg in oom_messages:
+        def boom(fn, *args, _msg=msg):
+            raise RuntimeError(_msg)
+
+        monkeypatch.setattr(main_mod, "_probe_compile", boom)
+        main_mod._REMAT_PROBE_CACHE.clear()
+        if os.path.exists(path):
+            os.remove(path)
+        assert main_mod.dense_remat_probe(cfg, scene) == "on"
+        with open(path) as f:
+            assert "on" in json.load(f).values()
     # Unrelated compile failures still propagate (the solver's
     # byte-estimate fallback owns those).
     def other(fn, *args):
