@@ -24,10 +24,22 @@ import jax.numpy as jnp
 
 
 def block_mean(img: jnp.ndarray, scale: int) -> jnp.ndarray:
-    """(H, W) -> (H//scale, W//scale) mean over scale x scale blocks."""
+    """(H, W) -> (H//scale, W//scale) mean over scale x scale blocks.
+
+    Implemented as ``scale**2`` strided-slice adds, NOT the natural
+    ``reshape(h//s, s, w//s, s).mean((1, 3))``: on TPU that reshape's
+    output materializes with the (8, 128) tiling on its two minor dims
+    ``(w//s, s)``, padding the size-``s`` minor dim 128/s x — at image6
+    PAN scale (8004 x 8404) the s=2 intermediate is a 17.2 GB
+    allocation (observed compile-OOM in the two-stage stage-1 prep).
+    Strided slices keep every operand rank-2 and layout-compact."""
     h, w = img.shape[0] - img.shape[0] % scale, img.shape[1] - img.shape[1] % scale
-    x = img[:h, :w].reshape(h // scale, scale, w // scale, scale)
-    return x.mean(axis=(1, 3))
+    acc = None
+    for i in range(scale):
+        for j in range(scale):
+            part = img[i:h:scale, j:w:scale]
+            acc = part if acc is None else acc + part
+    return acc / jnp.asarray(scale * scale, acc.dtype)
 
 
 def pan2ms(pan: jnp.ndarray, size: tuple[int, int, int]) -> jnp.ndarray:
