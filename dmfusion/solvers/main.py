@@ -134,11 +134,18 @@ def dense_remat_probe(cfg: Mapping[str, Any], scene,
         # failure differently — "INTERNAL: ... HTTP 500 ... Ran out of
         # memory in memory space hbm. ... Exceeded hbm capacity"
         # (observed on the image5 run) — so match the OOM phrasings,
-        # not just the canonical status code.
+        # not just the canonical status code.  Match ONLY device-HBM
+        # phrasings: a bare "exhausted"/"out of memory" would also hit
+        # gRPC rate-limit RESOURCE_EXHAUSTED or host-RAM failures, and
+        # a transient mis-match here is PERMANENTLY disk-cached as 'on'
+        # (silently forfeiting the measured 40% remat-off win at that
+        # shape forever).
         msg = str(e).lower()
-        oom = ("resource_exhausted" in msg or "exhausted" in msg
-               or "ran out of memory" in msg or "out of memory" in msg
-               or "exceeded hbm capacity" in msg)
+        oom = ("memory space hbm" in msg
+               or "exceeded hbm capacity" in msg
+               or ("hbm" in msg and "out of memory" in msg)
+               or ("resource_exhausted" in msg
+                   and ("reserve" in msg or "memory" in msg)))
         if oom:
             decision = "on"
             _REMAT_PROBE_CACHE[key] = decision

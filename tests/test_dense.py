@@ -964,12 +964,19 @@ def test_dense_remat_probe_resource_exhausted_means_on(tmp_path,
         with open(path) as f:
             assert "on" in json.load(f).values()
     # Unrelated compile failures still propagate (the solver's
-    # byte-estimate fallback owns those).
-    def other(fn, *args):
-        raise RuntimeError("something else entirely")
+    # byte-estimate fallback owns those) — INCLUDING transient
+    # RESOURCE_EXHAUSTED that is not a device-HBM OOM (gRPC rate
+    # limits / message-size rejections): a mis-match here would be
+    # permanently disk-cached as 'on'.
+    for transient in ("RESOURCE_EXHAUSTED: quota exceeded for compiles",
+                      "something else entirely"):
+        def other(fn, *args, _msg=transient):
+            raise RuntimeError(_msg)
 
-    monkeypatch.setattr(main_mod, "_probe_compile", other)
-    main_mod._REMAT_PROBE_CACHE.clear()
-    os.remove(path)
-    with pytest.raises(RuntimeError, match="something else"):
-        main_mod.dense_remat_probe(cfg, scene)
+        monkeypatch.setattr(main_mod, "_probe_compile", other)
+        main_mod._REMAT_PROBE_CACHE.clear()
+        if os.path.exists(path):
+            os.remove(path)
+        with pytest.raises(RuntimeError):
+            main_mod.dense_remat_probe(cfg, scene)
+        assert not os.path.exists(path)

@@ -133,7 +133,11 @@ def test_gather_tri_fast_uses_full_dma_groups(small_scene, small_cfg,
                            interpret=True)
     from dmfusion.data.patches import gather_tri
     b = gather_tri(sc.ms, sc.pan, sc.pan, ids, sc.width, ps)
-    assert seen and all(g == 64 for g in seen)
+    # >= 3 spy hits (MS + PAN via gather_dual_fast, plus the MSPAN
+    # gather): if a trace-cache hit ever skips re-tracing the dual leg,
+    # the dual-path entries vanish and this must fail loudly rather
+    # than silently weakening to the MSPAN-only check.
+    assert len(seen) >= 3 and all(g == 64 for g in seen)
     for got, want in zip(a, b):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6, atol=1e-7)

@@ -51,8 +51,10 @@ def main() -> None:
                                  (steps, bs, pic, pic, c), jnp.float32)
     float(m_tiles.sum())
 
-    epoch = jax.jit(prog._train_epoch, donate_argnums=(0,),
-                    static_argnums=(4,))
+    # The programs class already jits this with the production
+    # donation/static config — reuse it so the bench measures exactly
+    # what the solver runs.
+    epoch = prog.train_epoch
 
     def run(i: int) -> tuple[float, float, float]:
         nonlocal state

@@ -10,10 +10,27 @@ export PYTHONUNBUFFERED=1
 OUT=${1:-/root/cityruns}
 mkdir -p "$OUT"
 
+probe_chip() {
+  # CLAUDE.md: a killed long-running TPU process can wedge the tunnel
+  # lease for 30+ min — probe with a tiny matmul (with backoff) before
+  # launching anything expensive.
+  for _ in 1 2 3 4 5 6 7 8 9 10; do
+    if timeout 120 python -c \
+      "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); print(float((x @ x).sum()))" \
+      > /dev/null 2>&1; then
+      return 0
+    fi
+    echo "--- chip probe failed; backing off 3 min $(date +%T) ---"
+    sleep 180
+  done
+  return 1
+}
+
 run() {
   city=$1; tr=$2; vr=$3
+  probe_chip || { echo "=== $city SKIPPED (chip unavailable) ==="; return 1; }
   echo "=== $city start $(date +%T) ==="
-  timeout 3600 dmfusion --city "$city" --model dense_fusion --set \
+  timeout 5400 dmfusion --city "$city" --model dense_fusion --set \
     train_rate="$tr" verify_rate="$vr" epoch=240 time=1 \
     train.dense_epoch=full color.index=1 \
     expo_result="$OUT/" seed=0 \
