@@ -63,9 +63,21 @@ def globalize(tree):
         lambda a: jax.make_array_from_process_local_data(
             rep, np.asarray(a), np.shape(a)), tree)
 
-model = build_model(cfg, "gmfnet")
-prog = DualPrograms(model, make_optimizer(cfg, 1), cfg, scene.width,
-                    scene.patch, mesh)
+mode = os.environ.get("DMF_TEST_MODE", "dual")
+if mode == "dense":
+    # Band-sharded dense training over the GLOBAL mesh: scene rows
+    # split across both processes' devices, band features + SAT per
+    # device, anchor-ownership psum riding the cross-process backend.
+    from dmfusion.train.steps import DensePrograms
+    model = build_model(cfg)
+    prog = DensePrograms(model, make_optimizer(cfg, 1), cfg, scene.width,
+                         scene.patch, mesh)
+    assert prog._band_plan(scene.ms.shape[0], mesh) is not None, \\
+        "scene must be big enough to band-shard, else this tests nothing"
+else:
+    model = build_model(cfg, "gmfnet")
+    prog = DualPrograms(model, make_optimizer(cfg, 1), cfg, scene.width,
+                        scene.patch, mesh)
 params, opt_state = prog.init(jax.random.PRNGKey(0))
 params, opt_state = globalize(params), globalize(opt_state)
 scene_args = globalize((scene.ms, scene.pan))
@@ -108,18 +120,36 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _single_device_reference():
+DENSE_CFG_OVERRIDES = {
+    **CFG_OVERRIDES,
+    # Big enough that an 8-device band plan engages (same geometry as
+    # the in-process band-parity tests in tests/test_dense.py).
+    "data_city": "synthodd",
+    "DATA_DICT": {"synthodd": {
+        "size": [61, 40, 4],
+        "color": [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]]}},
+    "model_name": "dense_fusion",
+}
+
+
+def _single_device_reference(mode="dual"):
     from dmfusion.config import load_config
     from dmfusion.data.scene import synthetic_scene
     from dmfusion.models import build_model
     from dmfusion.train.optim import make_optimizer
-    from dmfusion.train.steps import DualPrograms
+    from dmfusion.train.steps import DensePrograms, DualPrograms
 
-    cfg = load_config(overrides=CFG_OVERRIDES)
+    cfg = load_config(overrides=DENSE_CFG_OVERRIDES if mode == "dense"
+                      else CFG_OVERRIDES)
     scene = synthetic_scene(cfg)
-    model = build_model(cfg, "gmfnet")
-    prog = DualPrograms(model, make_optimizer(cfg, 1), cfg, scene.width,
-                        scene.patch, None)
+    if mode == "dense":
+        model = build_model(cfg)
+        prog = DensePrograms(model, make_optimizer(cfg, 1), cfg,
+                             scene.width, scene.patch, None)
+    else:
+        model = build_model(cfg, "gmfnet")
+        prog = DualPrograms(model, make_optimizer(cfg, 1), cfg, scene.width,
+                            scene.patch, None)
     params, opt_state = prog.init(jax.random.PRNGKey(0))
     ids = (np.arange(32, dtype=np.int32).reshape(2, 16) * 7) \
         % scene.num_pixels
@@ -133,7 +163,11 @@ def _single_device_reference():
              for l in jax.tree.leaves(params)])
 
 
-def test_two_process_train_epoch_matches_single_device(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["dual", "dense"])
+def test_two_process_train_epoch_matches_single_device(tmp_path, mode):
     worker = tmp_path / "mp_worker.py"
     worker.write_text(WORKER)
     port = _free_port()
@@ -144,7 +178,9 @@ def test_two_process_train_epoch_matches_single_device(tmp_path):
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
         "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
         "JAX_NUM_PROCESSES": "2",
-        "DMF_TEST_CFG": json.dumps(CFG_OVERRIDES),
+        "DMF_TEST_MODE": mode,
+        "DMF_TEST_CFG": json.dumps(DENSE_CFG_OVERRIDES if mode == "dense"
+                                   else CFG_OVERRIDES),
         "PYTHONPATH": REPO + os.pathsep + env_base.get("PYTHONPATH", ""),
     })
     procs = []
@@ -168,7 +204,7 @@ def test_two_process_train_epoch_matches_single_device(tmp_path):
     np.testing.assert_allclose(outs[0]["param_sums"],
                                outs[1]["param_sums"], rtol=1e-6)
 
-    ref_losses, ref_sums = _single_device_reference()
+    ref_losses, ref_sums = _single_device_reference(mode)
     np.testing.assert_allclose(outs[0]["losses"], ref_losses, rtol=1e-5)
     np.testing.assert_allclose(outs[0]["param_sums"], ref_sums,
                                rtol=1e-4, atol=1e-6)
