@@ -132,7 +132,20 @@ def prepare_run(cfg: dict[str, Any]) -> dict[str, Any]:
         while os.path.exists(excel) or os.path.exists(outdir):
             filenum += 1
             excel, outdir = slot_paths(filenum)
-        if cfg.get("delete"):
+        if cfg["train"].get("resume"):
+            # Resume must land in the slot holding the interrupted
+            # run's checkpoints: reuse the newest UNFINISHED slot
+            # (output dir exists but the result workbook was never
+            # written — the run died before its report).  Without
+            # this, a fresh process always advances to an empty slot
+            # and train.resume can never find `curweights`.  Finished
+            # runs (workbook present) are never resumed into.
+            for num in range(filenum - 1, -1, -1):
+                ex, od = slot_paths(num)
+                if os.path.isdir(od) and not os.path.isfile(ex):
+                    filenum = num
+                    break
+        elif cfg.get("delete"):
             # Scan downward for orphaned output dirs (no workbook) and GC
             # them; the lowest freed slot becomes this run's number.
             for num in range(filenum - 1, -1, -1):

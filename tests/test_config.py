@@ -67,6 +67,29 @@ def test_prepare_run_slot_numbering(tmp_path):
     assert c2["FILE_NUM"] == 0
 
 
+def test_prepare_run_resume_reuses_unfinished_slot(tmp_path):
+    """train.resume must land in the newest UNFINISHED slot (output dir
+    without a result workbook) so a fresh process can continue an
+    interrupted run's checkpoints — and must NOT GC that dir even with
+    the delete flag set.  Finished runs (workbook present) are never
+    resumed into."""
+    cfg = load_config(overrides={
+        "data_city": "synth64",
+        "expo_result": str(tmp_path) + "/",
+    })
+    c0 = prepare_run(cfg)                      # slot 0: interrupted run
+    marker = os.path.join(c0["RESULT_output"], "0_curweights.msgpack")
+    open(marker, "w").close()
+    resume_cfg = dict(cfg, train=dict(cfg["train"], resume=1))
+    c1 = prepare_run(resume_cfg)
+    assert c1["FILE_NUM"] == 0                 # reused, not advanced
+    assert os.path.exists(marker)              # and NOT GC'd
+    # Finish slot 0 (workbook written): resume now gets a fresh slot.
+    open(c0["RESULT_excel"], "w").close()
+    c2 = prepare_run(resume_cfg)
+    assert c2["FILE_NUM"] == 1
+
+
 def test_root_config_yaml_loads():
     """The shipped config.yml (the user-facing surface) must load,
     interpolate its {{...}} placeholders, and validate."""
