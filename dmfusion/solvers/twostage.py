@@ -71,11 +71,22 @@ class TwoStageSolver(Solver):
         ms = np.asarray(minmax_normalize(jnp.asarray(self.scene.raw_ms)))
         pan_npy = os.path.join(cfg["data_address"] or self._weights_dir(),
                                "pan.npy")
+        size = (self.scene.height, self.scene.width,
+                self.scene.raw_ms.shape[-1])
+        pms = None
         if os.path.exists(pan_npy):
             pms = np.load(pan_npy)
-        else:
-            size = (self.scene.height, self.scene.width,
-                    self.scene.raw_ms.shape[-1])
+            if pms.shape != size:
+                # Stale cache from a different city/geometry.  The
+                # reference keeps pan.npy inside the per-city data dir
+                # (function.py:208-212) so it could never go stale, but
+                # the weights-dir fallback (synthetic scenes / shared
+                # expo_result) is not city-keyed — an image9 run once
+                # silently consumed image6's cache here.
+                print(f"[stage1] ignoring stale pan.npy cache "
+                      f"{pms.shape} != {size}")
+                pms = None
+        if pms is None:
             pms = np.asarray(pan2ms(jnp.asarray(self.scene.raw_pan), size))
             np.save(pan_npy, pms)
         pms = np.asarray(minmax_normalize(jnp.asarray(pms)))
@@ -198,16 +209,28 @@ class TwoStageSolver(Solver):
     # -- stage 2 -----------------------------------------------------------
     def train_stage2_setup(self) -> None:
         cfg = self.cfg
+        size = (self.scene.height, self.scene.width,
+                self.scene.raw_ms.shape[-1])
         if cfg["dqtl"].get("pre_trained"):
             self.ms_gan = np.load(os.path.join(self._weights_dir(),
                                                "msgan.npy"))
             self.pan_gan = np.load(os.path.join(self._weights_dir(),
                                                 "pangan.npy"))
+            for name, arr in (("msgan.npy", self.ms_gan),
+                              ("pangan.npy", self.pan_gan)):
+                if tuple(arr.shape) != size:
+                    # Same staleness class as the pan.npy cache: the
+                    # WEIGHTS dir is shared across runs, so fail loudly
+                    # instead of gathering out-of-bounds 4-stream
+                    # anchors from another city's fakes.
+                    raise ValueError(
+                        f"dqtl.pre_trained: cached {name} has shape "
+                        f"{tuple(arr.shape)} but this scene needs "
+                        f"{size}; re-run stage 1 (pre_trained: 0) or "
+                        f"point dqtl.WEIGHTS at the right artifacts")
         elif self.ms_gan is None:
             self.train_stage1()
         ps = self.scene.patch
-        size = (self.scene.height, self.scene.width,
-                self.scene.raw_ms.shape[-1])
         pms = np.asarray(pan2ms(jnp.asarray(self.scene.raw_pan), size))
 
         def prep(arr):

@@ -183,16 +183,32 @@ def test_two_process_train_epoch_matches_single_device(tmp_path, mode):
                                    else CFG_OVERRIDES),
         "PYTHONPATH": REPO + os.pathsep + env_base.get("PYTHONPATH", ""),
     })
-    procs = []
-    for pid in (0, 1):
-        env = dict(env_base, JAX_PROCESS_ID=str(pid))
-        procs.append(subprocess.Popen(
-            [sys.executable, str(worker)], env=env, cwd=str(tmp_path),
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    def launch(env_base):
+        procs = []
+        for pid in (0, 1):
+            env = dict(env_base, JAX_PROCESS_ID=str(pid))
+            procs.append(subprocess.Popen(
+                [sys.executable, str(worker)], env=env, cwd=str(tmp_path),
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+        results = []
+        for p in procs:
+            stdout, stderr = p.communicate(timeout=600)
+            results.append((p.returncode, stdout, stderr))
+        return results
+
+    results = launch(env_base)
+    if any(rc != 0 and "Gloo context initialization failed" in err
+           for rc, _, err in results):
+        # Infrastructure flake on this 1-core box: Gloo's 30 s key-value
+        # exchange at the first collective can time out when unrelated
+        # load (e.g. a concurrent TPU run's host work) starves both
+        # workers.  One retry on a fresh port; real product failures
+        # still fail the retry.
+        env_base["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{_free_port()}"
+        results = launch(env_base)
     outs = []
-    for p in procs:
-        stdout, stderr = p.communicate(timeout=600)
-        assert p.returncode == 0, stderr[-3000:]
+    for rc, stdout, stderr in results:
+        assert rc == 0, stderr[-3000:]
         line = [ln for ln in stdout.splitlines()
                 if ln.startswith("RESULT ")][-1]
         outs.append(json.loads(line[len("RESULT "):]))

@@ -125,3 +125,30 @@ def test_pretrained_fast_path(ts_cfg):
     s = TwoStageSolver(cfg)
     s.train_stage2_setup()
     assert s.ms_gan is not None and s.gan_state is None  # no GAN training
+
+
+def test_stale_artifact_caches_rejected(ts_cfg, tmp_path, capsys):
+    """The dqtl_weights artifact caches are shared across runs of one
+    expo_result dir, so a run at a DIFFERENT geometry must not consume
+    them: pan.npy from another city is silently recomputed (an image9
+    run once consumed image6's cache here), and pre_trained msgan/pangan
+    with the wrong shape fail loudly."""
+    from dmfusion.solvers.twostage import TwoStageSolver
+    cfg = dict(ts_cfg, expo_result=str(tmp_path) + "/")
+    s = TwoStageSolver(cfg)
+    wrong = np.zeros((5, 7, 4), np.float32)   # another city's geometry
+    np.save(os.path.join(s._weights_dir(), "pan.npy"), wrong)
+    ms_tiles, pan_tiles, rows, cols = s._stage1_tiles()
+    assert "stale pan.npy" in capsys.readouterr().out
+    assert ms_tiles.shape == pan_tiles.shape  # recomputed at scene size
+    # The rejected cache was overwritten with the correct one.
+    assert np.load(os.path.join(s._weights_dir(), "pan.npy")).shape \
+        == (s.scene.height, s.scene.width, 4)
+
+    np.save(os.path.join(s._weights_dir(), "msgan.npy"), wrong)
+    np.save(os.path.join(s._weights_dir(), "pangan.npy"), wrong)
+    cfg2 = dict(cfg)
+    cfg2["dqtl"] = dict(cfg2["dqtl"], pre_trained=1)
+    s2 = TwoStageSolver(cfg2)
+    with pytest.raises(ValueError, match="msgan.npy has shape"):
+        s2.train_stage2_setup()
