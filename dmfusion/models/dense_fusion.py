@@ -333,15 +333,29 @@ def phase_pooled_s2d(feats_s2d: jnp.ndarray, patch: int, out_rows: int,
     """
     ni = -(-out_rows // 2)
     nj = -(-out_cols // 2)
+    from dmfusion.ops.pallas_pool import pool_shapes_supported
     if use_pallas is None:
         # Trace-time default-backend check; for AOT lowering to a
         # DIFFERENT target (tools/dense_aot_memcheck.py-style), pass
         # use_pallas explicitly so the compiled program matches the one
-        # the real device runs.
+        # the real device runs.  Shape gate: the kernel's slab DMAs are
+        # only Mosaic-legal for patch % 16 == 0 and lane-aligned c4
+        # (pool_shapes_supported) — small-scene configs (synth64's
+        # patch 8, width-16 models) take the XLA pipeline on TPU too.
         try:
-            use_pallas = jax.devices()[0].platform == "tpu"
+            use_pallas = (jax.devices()[0].platform == "tpu"
+                          and pool_shapes_supported(feats_s2d.shape[-1],
+                                                    patch))
         except Exception:
             use_pallas = False
+    elif use_pallas and not pool_shapes_supported(feats_s2d.shape[-1],
+                                                  patch):
+        raise ValueError(
+            f"precision.pallas_pool: the fused kernel needs patch_size a "
+            f"multiple of 16 and 4*model_width a multiple of 128 (got "
+            f"patch={patch}, channels={feats_s2d.shape[-1]}); use "
+            f"pallas_pool: auto (falls back to the XLA pipeline) for "
+            f"this configuration")
     if use_pallas:
         # Fused Pallas kernel: one feature read + one pooled write
         # instead of the multi-pass SAT pipeline (ops/pallas_pool.py).

@@ -38,6 +38,23 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def pool_shapes_supported(c4: int, patch: int) -> bool:
+    """Whether the fused kernel's DMA slices are Mosaic-legal for this
+    (channel, patch) combination.
+
+    The slab copy slices ``njt + ph`` columns out of the HBM feature
+    tensor, and Mosaic requires second-minor slice extents/starts to be
+    8-aligned — so ``ph = patch // 2`` must be a multiple of 8 (patch
+    a multiple of 16; the production dense patch is exactly 16).  The
+    lane dim must also be tile-aligned (c4 a multiple of 128, i.e.
+    model_width a multiple of 32).  Callers fall back to the XLA
+    phase-SAT pipeline otherwise (measured Mosaic rejection at patch 8:
+    "Slice shape along dimension 1 must be aligned to tiling (8), but
+    is 12").
+    """
+    return patch % 16 == 0 and c4 % 128 == 0
+
+
 def _mix_np(c4: int, patch: int):
     """Phase-selection matmul operands — the single source of truth
     lives next to the XLA pipeline this kernel must match

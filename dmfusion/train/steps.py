@@ -261,8 +261,9 @@ def resolve_dense_streams(value, ms_rows: int, ms_cols: int) -> int:
     intermediate tile-pads ~16x to ~26 GB (BENCH_NOTES.md "image9
     single-chip" — an XLA layout pathology, not live-tensor size).  The
     ~6.5M px/band divisor gives image9/image10 8 bands — measured on
-    the chip: 957 ms/map (52.7M px/s) vs 991 ms at 16 bands, both
-    comfortably inside HBM with the f32 scene resident.  Explicit
+    the chip: 700 ms/map (72.0M px/s, compact 2-D pre-cast scenes) vs
+    991 ms at 16 bands, both inside HBM with the f32 scene resident.
+    Explicit
     integers force a band count; 'off'/0/1 force the whole-scene pass.
     """
     v = str(value).strip().lower() if value is not None else "auto"

@@ -185,6 +185,24 @@ def test_pallas_pool_matches_xla_phase_pool(hw, col_tile):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+def test_pallas_pool_shape_gate():
+    """The fused kernel's slab DMAs are only Mosaic-legal for
+    patch % 16 == 0 and lane-aligned channels (measured TPU rejection at
+    patch 8: 'Slice shape along dimension 1 must be aligned to tiling
+    (8), but is 12').  Auto resolution must shape-gate, and forcing the
+    kernel at an unsupported shape must fail with a dmfusion error, not
+    a Mosaic internal."""
+    from dmfusion.models.dense_fusion import phase_pooled_s2d
+    from dmfusion.ops.pallas_pool import pool_shapes_supported
+    assert pool_shapes_supported(128, 16)       # production dense shape
+    assert pool_shapes_supported(256, 32)
+    assert not pool_shapes_supported(64, 16)    # width 16: lanes 64
+    assert not pool_shapes_supported(128, 8)    # synth64 patch 8: ph 4
+    f = jnp.zeros((8, 8, 64), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 16"):
+        phase_pooled_s2d(f, 8, 9, 9, use_pallas=True)
+
+
 def test_class_map_matches_logits_argmax(dense_solver):
     """model.class_map (s2d-space argmax, no full-res logits tensor)
     equals argmax over the __call__ logits map."""
