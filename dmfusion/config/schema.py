@@ -170,7 +170,14 @@ DEFAULTS: dict[str, Any] = {
               # the run streams the dense pass in sequential bands —
               # city-scale scenes on one device, where minibatch would
               # replay every band pass per step — else minibatch).
-              "dense_epoch": "auto"},
+              "dense_epoch": "auto",
+              # dmfusion extension: per-epoch checkpoint saves run on a
+              # background writer thread (device-side snapshot first, so
+              # donation-safe), overlapping fetch+serialize+write with
+              # the next epoch's device work — saves were the dominant
+              # host cost of the fused epoch loop (BENCH_NOTES.md).
+              # "off" restores synchronous saves.
+              "async_save": "auto"},
     "test": {"index": 1, "save_matrix": 1},
     "color": {"index": 0, "supervised": 1, "unsupervised": 1},
     # Contourlet band diagnostics (reference proof()/visualize_channels,

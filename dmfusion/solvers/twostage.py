@@ -280,6 +280,18 @@ class TwoStageSolver(Solver):
             if not cfg.get("nohup"):
                 print(f"[stage2 repeat {self.time}] resumed at epoch "
                       f"{self.epoch}")
+        saver = self._make_saver()
+        try:
+            self._stage2_loop(cfg, saver, best_loss, save_best)
+        finally:
+            if saver is not None:
+                saver.close()
+        self.train_time = self.now() - t0
+        self.epoch = 0
+        self.save_records()
+
+    def _stage2_loop(self, cfg, saver, best_loss: float,
+                     save_best) -> None:
         while self.epoch < self.EPOCH:
             ids, labels, mask, _ = self.batches(self.split.train,
                                                 cfg["batchsize"],
@@ -310,18 +322,14 @@ class TwoStageSolver(Solver):
                     # Real device copy — train_epoch donates param buffers
                     # (see solvers/main.py).
                     self.best_params = snapshot(self.params)
-                    save_checkpoint(self.best_weights_path(),
-                                    self.best_params)
+                    self._save_best(saver)
                 elif cfg["train"].get("early_stop"):
                     # dmfusion extension: stop stage-2 training at the
                     # first val regression, after saving this epoch's
                     # current checkpoint + records — same semantics as
                     # the main solver (solvers/main.py::train).
                     stop_early = True
-            save_checkpoint(self.cur_weights_path(),
-                            {"params": self.params,
-                             "opt_state": self.opt_state,
-                             "epoch": self.epoch})
+            self._save_current(saver)
             self.records["Epoch"].append(self.epoch)
             self.records["Loss"].append(train_loss)
             self.records["ValLoss"].append(val_loss)
@@ -335,9 +343,6 @@ class TwoStageSolver(Solver):
             if stop_early:
                 break
             self.epoch += 1
-        self.train_time = self.now() - t0
-        self.epoch = 0
-        self.save_records()
 
     def test(self) -> None:
         cfg = self.cfg

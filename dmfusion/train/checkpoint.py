@@ -14,6 +14,7 @@ any leaf missing from the file.
 from __future__ import annotations
 
 import os
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any
 
 import jax
@@ -33,8 +34,13 @@ def save_checkpoint(path: str | os.PathLike, tree: Any) -> None:
         if hasattr(leaf, "copy_to_host_async"):
             leaf.copy_to_host_async()
     host_tree = jax.tree.map(np.asarray, tree)
-    with open(path, "wb") as f:
+    # Atomic write: a crash mid-write must not leave a truncated
+    # curweights file behind — resume (solvers/main.py) would then die
+    # on the corrupt msgpack instead of restarting one epoch earlier.
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(host_tree))
+    os.replace(tmp, path)
 
 
 @jax.jit
@@ -49,8 +55,18 @@ def snapshot(tree: Any) -> Any:
     ``jax.tree.map(jnp.array, tree)`` issues a blocking round trip per
     leaf — ~8 s per best-params snapshot for a 64-leaf model on the
     remote-tunneled TPU; a single jitted program with ``jnp.copy``
-    leaves (fresh, non-aliased output buffers) costs one dispatch."""
-    return _copy_tree(tree)
+    leaves (fresh, non-aliased output buffers) costs one dispatch.
+    Non-array leaves (e.g. the checkpoint's ``epoch`` int) pass through
+    verbatim so a snapshotted tree serializes byte-identically to the
+    original."""
+    leaves, treedef = jax.tree.flatten(tree)
+    idx = [i for i, leaf in enumerate(leaves)
+           if isinstance(leaf, jax.Array)]
+    if idx:
+        copied = _copy_tree([leaves[i] for i in idx])
+        for i, c in zip(idx, copied):
+            leaves[i] = c
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def _merge_lenient(template: Any, loaded: Any,
@@ -105,3 +121,64 @@ def load_checkpoint(path: str | os.PathLike, template: Any,
 
 def exists(path: str | os.PathLike) -> bool:
     return os.path.exists(path)
+
+
+class AsyncCheckpointWriter:
+    """Overlap checkpoint writes with the next epoch's device work.
+
+    Per-epoch checkpoint saves are the dominant HOST cost of the fused
+    epoch loop (BENCH_NOTES.md: 0.7 s of a 1.6 s gmfnet epoch; ~2 s of
+    a ~9 s streamed image9 epoch) — the device is idle while the main
+    thread fetches leaves over the tunnel and serializes them.  This
+    writer makes the epoch loop pay only a device-side :func:`snapshot`
+    (ONE jitted dispatch) and hands fetch+serialize+write to a single
+    worker thread, so the save streams out while the next epoch's scan
+    runs on the device.
+
+    Correctness notes:
+      * ``save(copy=True)`` snapshots on-device FIRST — the live params
+        are donated by the next ``train_epoch`` call, so the worker must
+        never touch the caller's buffers.  Pass ``copy=False`` only for
+        trees the caller guarantees stay alive and un-donated (e.g. the
+        solver's ``best_params``, itself a snapshot).
+      * At most one write per path is in flight: a second ``save`` to
+        the same path waits for the previous one (by then long done —
+        an epoch of device work has passed), preserving write order.
+      * ``flush()`` joins all pending writes and re-raises the first
+        worker error; solvers call it before leaving ``train()`` so
+        test/color phases always see completed files.  Crash semantics
+        match the sync path to within one epoch: an unflushed crash
+        loses at most the newest save, and the atomic tmp+rename in
+        :func:`save_checkpoint` keeps the previous file intact.
+    """
+
+    def __init__(self) -> None:
+        self._executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="dmfusion-ckpt")
+        self._pending: dict[str, Future] = {}
+
+    def save(self, path: str | os.PathLike, tree: Any,
+             copy: bool = True) -> None:
+        key = os.fspath(path)
+        prev = self._pending.pop(key, None)
+        if prev is not None:
+            prev.result()
+        if copy:
+            tree = snapshot(tree)
+        self._pending[key] = self._executor.submit(
+            save_checkpoint, path, tree)
+
+    def flush(self) -> None:
+        pending, self._pending = self._pending, {}
+        errs = []
+        for fut in pending.values():
+            try:
+                fut.result()
+            except Exception as e:  # join everything before raising
+                errs.append(e)
+        if errs:
+            raise errs[0]
+
+    def close(self) -> None:
+        self.flush()
+        self._executor.shutdown(wait=True)

@@ -69,6 +69,69 @@ def test_lenient_load_warns_on_unmatched_leaves(tmp_path):
     np.testing.assert_array_equal(out["head"]["w"], template["head"]["w"])
 
 
+def test_async_writer_donation_safe(tmp_path):
+    """AsyncCheckpointWriter(copy=True) snapshots on-device BEFORE the
+    worker fetches: deleting the caller's buffers right after save()
+    (what the next epoch's donation does) must not corrupt the write."""
+    import jax.numpy as jnp
+    from dmfusion.train.checkpoint import AsyncCheckpointWriter
+    w = jnp.arange(12.0).reshape(3, 4)
+    tree = {"params": {"w": w}, "epoch": 3}
+    path = tmp_path / "async.msgpack"
+    writer = AsyncCheckpointWriter()
+    writer.save(path, tree, copy=True)
+    w.delete()                      # simulate donation of the source
+    writer.close()
+    out = load_checkpoint(path, {"params": {"w": jnp.zeros((3, 4))},
+                                 "epoch": 0})
+    np.testing.assert_array_equal(np.asarray(out["params"]["w"]),
+                                  np.arange(12.0).reshape(3, 4))
+    assert int(out["epoch"]) == 3
+
+
+def test_async_writer_last_write_wins(tmp_path):
+    """Repeated saves to one path are ordered: after flush the file holds
+    the newest tree (at most one in flight per path)."""
+    import jax.numpy as jnp
+    from dmfusion.train.checkpoint import AsyncCheckpointWriter
+    path = tmp_path / "cur.msgpack"
+    writer = AsyncCheckpointWriter()
+    for epoch in range(4):
+        writer.save(path, {"w": jnp.full((2,), float(epoch)),
+                           "epoch": epoch}, copy=True)
+    writer.close()
+    out = load_checkpoint(path, {"w": jnp.zeros((2,)), "epoch": -1})
+    assert int(out["epoch"]) == 3
+    np.testing.assert_array_equal(np.asarray(out["w"]), [3.0, 3.0])
+
+
+def test_async_writer_error_surfaces_on_flush(tmp_path):
+    """A worker-side write failure is re-raised to the caller at flush
+    time, not swallowed on the background thread."""
+    import jax.numpy as jnp
+    from dmfusion.train.checkpoint import AsyncCheckpointWriter
+    blocker = tmp_path / "file"
+    blocker.write_text("not a dir")
+    writer = AsyncCheckpointWriter()
+    writer.save(blocker / "ck.msgpack", {"w": jnp.zeros((2,))}, copy=False)
+    with pytest.raises(OSError):
+        writer.flush()
+    writer.close()
+
+
+def test_save_checkpoint_is_atomic(tmp_path):
+    """Writes go through tmp+rename: the destination never holds a
+    partial file, and no tmp litter survives a successful save."""
+    import os
+    tree = {"w": jnp.ones((4,))}
+    path = tmp_path / "ck.msgpack"
+    save_checkpoint(path, tree)
+    save_checkpoint(path, {"w": jnp.full((4,), 2.0)})  # overwrite in place
+    out = load_checkpoint(path, {"w": jnp.zeros((4,))})
+    np.testing.assert_array_equal(np.asarray(out["w"]), [2.0] * 4)
+    assert [p for p in os.listdir(tmp_path) if ".tmp" in p] == []
+
+
 def test_matching_load_is_silent(tmp_path):
     import warnings
     import numpy as np

@@ -122,6 +122,37 @@ def test_use_h5_writes_patch_cache(tmp_path):
     assert (cache["label"] > 0).all()
 
 
+def test_async_save_matches_sync(tmp_path):
+    """train.async_save only moves WHEN checkpoint bytes are written,
+    never WHAT: an async run's weights/curweights files and loss curve
+    are identical to a synchronous run with the same seed."""
+    from dmfusion.solvers import build_solver
+    outs = {}
+    for mode in ("auto", "off"):
+        cfg = load_config(overrides={
+            "data_city": "synth64", "patch_size": 8, "batchsize": 32,
+            "test_batchsize": 32, "color_batchsize": 32, "epoch": 3,
+            "time": 1, "train_rate": 0.1, "verify_rate": 0.05, "seed": 0,
+            "model_width": 8, "expo_result": f"{tmp_path}/{mode}/",
+            "train": {"async_save": mode},
+            "test": {"index": 0}, "color": {"index": 0},
+            "precision": {"compute_dtype": "float32",
+                          "param_dtype": "float32"},
+        }, prepare=True)
+        solver = build_solver(cfg)
+        solver.run()
+        files = {}
+        for name in ("0_weights.msgpack", "0_curweights.msgpack"):
+            path = os.path.join(cfg["RESULT_output"], name)
+            assert os.path.exists(path), (mode, name)
+            with open(path, "rb") as f:
+                files[name] = f.read()
+        outs[mode] = (files, solver.records["Loss"])
+    assert outs["auto"][1] == outs["off"][1]
+    for name in outs["auto"][0]:
+        assert outs["auto"][0][name] == outs["off"][0][name], name
+
+
 def test_non_classification_loss_rejected(tmp_path):
     """schedule.loss MSE/L1/KL cannot drive the main solver (they crash
     the reference's too, mainsolver.py:53) — fail at init with a clear
