@@ -456,6 +456,7 @@ class Solver(BaseSolver):
         best_epoch = 0
         save_best = cfg["train"]["save_best"]
         while self.epoch < self.EPOCH:
+            ep_t0 = self.now()
             if h5 is not None:
                 h5_prog, h5_args, h5_labels = h5
                 ids, labels, mask = self._h5_row_batches(
@@ -506,6 +507,10 @@ class Solver(BaseSolver):
             self.records["Epoch"].append(self.epoch)
             self.records["Loss"].append(train_loss)
             self.records["ValLoss"].append(val_loss)
+            # Per-epoch wall time (observability the reference lacks —
+            # it records only the total train_time, mainsolver.py:86-87).
+            self.records.setdefault("EpochTime", []).append(
+                round(self.now() - ep_t0, 4))
             if stop_early:
                 if not cfg.get("nohup"):
                     print(f"[repeat {self.time}] early stop at epoch "

@@ -293,6 +293,7 @@ class TwoStageSolver(Solver):
     def _stage2_loop(self, cfg, saver, best_loss: float,
                      save_best) -> None:
         while self.epoch < self.EPOCH:
+            ep_t0 = self.now()
             ids, labels, mask, _ = self.batches(self.split.train,
                                                 cfg["batchsize"],
                                                 shuffle=True, trim=True)
@@ -334,6 +335,8 @@ class TwoStageSolver(Solver):
             self.records["Loss"].append(train_loss)
             self.records["ValLoss"].append(val_loss)
             self.records.setdefault("ValOA", []).append(val_oa)
+            self.records.setdefault("EpochTime", []).append(
+                round(self.now() - ep_t0, 4))
             if not cfg.get("nohup"):
                 msg = (f"[stage2 repeat {self.time}] epoch {self.epoch} "
                        f"loss {train_loss:.4f}")
