@@ -455,6 +455,18 @@ class Solver(BaseSolver):
     def _train_loop(self, cfg, saver, h5, best_loss: float) -> None:
         best_epoch = 0
         save_best = cfg["train"]["save_best"]
+        # Host-side batch building runs every epoch (~0.2 s of the
+        # ~1.3 s gmfnet epoch wall).  The VAL batches are identical
+        # every epoch (no shuffle, same split) — build once.  The TRAIN
+        # batches are likewise reusable under the full-batch dense
+        # program: ONE update over ALL anchors per epoch, so the
+        # per-epoch reshuffle only permutes a sum (no observable effect
+        # beyond f32 association); minibatch SGD keeps its real
+        # per-epoch reshuffle.
+        val_batches = None
+        train_batches = None
+        reuse_train = (h5 is None and getattr(
+            self.programs, "dense_epoch_mode", "minibatch") == "full")
         while self.epoch < self.EPOCH:
             ep_t0 = self.now()
             if h5 is not None:
@@ -464,22 +476,30 @@ class Solver(BaseSolver):
                 self.params, self.opt_state, losses = h5_prog.train_epoch(
                     self.params, self.opt_state, h5_args, ids, labels, mask)
             else:
-                ids, labels, mask, _ = self.batches(
-                    self.split.train, cfg["batchsize"], shuffle=True)
+                if train_batches is None:
+                    ids, labels, mask, _ = self.batches(
+                        self.split.train, cfg["batchsize"], shuffle=True)
+                    train_batches = (ids, labels,
+                                     mask.astype(jnp.float32))
+                ids, labels, mask = train_batches
+                if not reuse_train:
+                    train_batches = None
                 self.params, self.opt_state, losses = \
                     self.programs.train_epoch(
                         self.params, self.opt_state, self.scene_args,
-                        ids, labels, mask.astype(jnp.float32))
+                        ids, labels, mask)
             train_loss = float(jnp.mean(losses))
             val_loss = None
             stop_early = False
             if save_best:
-                vids, vlabels, vmask, _ = self.batches(
-                    self.split.valid, cfg["color_batchsize"],
-                    round_to=self._eval_round_to())
+                if val_batches is None:
+                    vids, vlabels, vmask, _ = self.batches(
+                        self.split.valid, cfg["color_batchsize"],
+                        round_to=self._eval_round_to())
+                    val_batches = (vids, vlabels,
+                                   vmask.astype(jnp.float32))
                 loss_sum, _ = self.programs.eval_epoch(
-                    self.params, self.scene_args, vids, vlabels,
-                    vmask.astype(jnp.float32))
+                    self.params, self.scene_args, *val_batches)
                 val_loss = float(loss_sum)
                 if val_loss < best_loss:
                     best_loss = val_loss

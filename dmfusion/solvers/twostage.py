@@ -292,6 +292,7 @@ class TwoStageSolver(Solver):
 
     def _stage2_loop(self, cfg, saver, best_loss: float,
                      save_best) -> None:
+        val_batches = None    # identical every epoch — build once
         while self.epoch < self.EPOCH:
             ep_t0 = self.now()
             ids, labels, mask, _ = self.batches(self.split.train,
@@ -305,12 +306,14 @@ class TwoStageSolver(Solver):
             val_oa = None
             stop_early = False
             if save_best:
-                vids, vlabels, vmask, _ = self.batches(
-                    self.split.valid, cfg["color_batchsize"],
-                    round_to=self._eval_round_to())
+                if val_batches is None:
+                    vids, vlabels, vmask, _ = self.batches(
+                        self.split.valid, cfg["color_batchsize"],
+                        round_to=self._eval_round_to())
+                    val_batches = (vids, vlabels,
+                                   vmask.astype(jnp.float32))
                 loss_sum, confs = self.programs.eval_epoch(
-                    self.params, self.scene_args, vids, vlabels,
-                    vmask.astype(jnp.float32))
+                    self.params, self.scene_args, *val_batches)
                 val_loss = float(loss_sum)
                 # Per-epoch validation OA from the fused-prediction
                 # confusion the eval already computed — the quality
