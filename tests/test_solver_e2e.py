@@ -47,6 +47,9 @@ def test_training_learns(finished_solver):
     losses = finished_solver.records["Loss"]
     assert len(losses) == 5
     assert losses[-1] < losses[0]  # synthetic classes are learnable
+    # Per-epoch wall times recorded alongside the curves (EpochTime).
+    times = finished_solver.records["EpochTime"]
+    assert len(times) == 5 and all(t > 0 for t in times)
 
 
 def test_confusion_matrix_and_report(finished_solver, run_cfg):
