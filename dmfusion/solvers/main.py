@@ -464,30 +464,37 @@ class Solver(BaseSolver):
         # beyond f32 association); minibatch SGD keeps its real
         # per-epoch reshuffle.
         val_batches = None
-        train_batches = None
         reuse_train = (h5 is None and getattr(
             self.programs, "dense_epoch_mode", "minibatch") == "full")
+        if h5 is not None:
+            prog, prog_args, h5_labels = h5
+
+            def build_train():
+                return self._h5_row_batches(len(h5_labels), h5_labels,
+                                            cfg["batchsize"])
+        else:
+            prog, prog_args = self.programs, self.scene_args
+
+            def build_train():
+                ids, labels, mask, _ = self.batches(
+                    self.split.train, cfg["batchsize"], shuffle=True)
+                return ids, labels, mask.astype(jnp.float32)
+
+        nxt = build_train()
         while self.epoch < self.EPOCH:
             ep_t0 = self.now()
-            if h5 is not None:
-                h5_prog, h5_args, h5_labels = h5
-                ids, labels, mask = self._h5_row_batches(
-                    len(h5_labels), h5_labels, cfg["batchsize"])
-                self.params, self.opt_state, losses = h5_prog.train_epoch(
-                    self.params, self.opt_state, h5_args, ids, labels, mask)
-            else:
-                if train_batches is None:
-                    ids, labels, mask, _ = self.batches(
-                        self.split.train, cfg["batchsize"], shuffle=True)
-                    train_batches = (ids, labels,
-                                     mask.astype(jnp.float32))
-                ids, labels, mask = train_batches
-                if not reuse_train:
-                    train_batches = None
-                self.params, self.opt_state, losses = \
-                    self.programs.train_epoch(
-                        self.params, self.opt_state, self.scene_args,
-                        ids, labels, mask)
+            ids, labels, mask = nxt
+            self.params, self.opt_state, losses = prog.train_epoch(
+                self.params, self.opt_state, prog_args, ids, labels, mask)
+            # jax dispatch is async: the epoch scan is now running on the
+            # device.  Build the NEXT epoch's shuffled batches here, in
+            # the shadow of that device work, before the blocking loss
+            # fetch below (same RNG consumption order as building them
+            # at the top of the next iteration).  Full-batch dense mode
+            # reuses the same batches (the reshuffle would only permute
+            # one whole-split sum).
+            if not reuse_train and self.epoch + 1 < self.EPOCH:
+                nxt = build_train()
             train_loss = float(jnp.mean(losses))
             val_loss = None
             stop_early = False
