@@ -20,9 +20,11 @@ and extract patches with gathers (see patches.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Any, Mapping
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,6 +34,23 @@ def minmax_normalize(x: jnp.ndarray) -> jnp.ndarray:
     lo = jnp.min(x)
     hi = jnp.max(x)
     return (x - lo) / (hi - lo)
+
+
+#: Jitted :func:`minmax_normalize` for eager whole-scene call sites
+#: (one remote compile instead of four per scene shape).
+minmax_normalize_jit = jax.jit(minmax_normalize)
+
+
+@functools.partial(jax.jit, static_argnames=("patch", "dtype"))
+def prep_scene(x: jnp.ndarray, patch: int, dtype) -> jnp.ndarray:
+    """normalize + reflect-pad + cast as ONE compiled program.
+
+    Run eagerly, the chain (min, max, sub, div, pad, astype) costs ~6
+    separate remote compiles PER SCENE SHAPE on the tunneled-TPU backend
+    (which cannot reload cached executables) — minutes of pure compile
+    wait at 50M-px scenes before training even starts.  One jit = one
+    compile, bit-identical result."""
+    return pad_scene(minmax_normalize(x), patch).astype(dtype)
 
 
 def pad_scene(x: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -147,8 +166,8 @@ def load_scene(cfg: Mapping[str, Any]) -> Scene:
         return synthetic_scene(cfg)
     h, w = label.shape
     sdt = _scene_dtype(cfg)
-    ms_n = pad_scene(minmax_normalize(jnp.asarray(ms)), ps).astype(sdt)
-    pan_n = pad_scene(minmax_normalize(jnp.asarray(pan)), 4 * ps).astype(sdt)
+    ms_n = prep_scene(jnp.asarray(ms), ps, sdt)
+    pan_n = prep_scene(jnp.asarray(pan), 4 * ps, sdt)
     return Scene(ms=ms_n, pan=pan_n, label=label, height=h, width=w,
                  patch=ps, raw_ms=ms, raw_pan=pan)
 
@@ -202,7 +221,7 @@ def synthetic_scene(cfg: Mapping[str, Any], seed: int | None = None) -> Scene:
     pan = pan + 0.25 * rng.standard_normal(pan.shape).astype(np.float32)
 
     sdt = _scene_dtype(cfg)
-    ms_n = pad_scene(minmax_normalize(jnp.asarray(ms)), ps).astype(sdt)
-    pan_n = pad_scene(minmax_normalize(jnp.asarray(pan)), 4 * ps).astype(sdt)
+    ms_n = prep_scene(jnp.asarray(ms), ps, sdt)
+    pan_n = prep_scene(jnp.asarray(pan), 4 * ps, sdt)
     return Scene(ms=ms_n, pan=pan_n, label=label, height=h, width=w,
                  patch=ps, raw_ms=ms, raw_pan=pan)

@@ -42,9 +42,13 @@ def block_mean(img: jnp.ndarray, scale: int) -> jnp.ndarray:
     return acc / jnp.asarray(scale * scale, acc.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("size",))
 def pan2ms(pan: jnp.ndarray, size: tuple[int, int, int]) -> jnp.ndarray:
     """PAN (4H, 4W) -> pseudo-MS (H, W, C) via /2 block-mean + phase
-    interleave ``p[i % 2::2, i // 2::2]`` per channel (IHS.py:14-19)."""
+    interleave ``p[i % 2::2, i // 2::2]`` per channel (IHS.py:14-19).
+
+    Jitted: eagerly this is ~12 ops = ~12 separate remote compiles per
+    scene shape on the tunneled-TPU backend (see scene.prep_scene)."""
     h, w, c = size
     p = block_mean(pan, 2)
     chans = [p[i % 2::2, i // 2::2][:h, :w] for i in range(c)]
@@ -74,6 +78,7 @@ def replicate_channels(img: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.repeat(img[:, :, None], n, axis=2)
 
 
+@jax.jit
 def ihs_transform(ms: jnp.ndarray, pan: jnp.ndarray,
                   key: jax.Array) -> jnp.ndarray:
     """Classic IHS pansharpen (IHS.py:40-54): unpool MS to PAN geometry,

@@ -120,12 +120,14 @@ class BaseSolver:
                            valid_ids.astype(np.int32),
                            self.labeled_ids, self.unlabeled_ids)
         self._epoch_rng = rng
-        if cfg.get("use_h5"):
+        if cfg.get("use_h5") and self.scene.ms is not None:
             # Honor the knob the reference defines but rejects
             # (basesolver.py:45-46 raises): materialize this repeat's
             # train patches as an HDF5 cache — the working version of
             # the reference's offline dataset_cut/save_h5 path
-            # (function/function.py:46-90).
+            # (function/function.py:46-90).  The dual-scene guard covers
+            # the two-stage solver, which frees the dual scene at
+            # stage-2 setup (the reference cache format is dual-only).
             from dmfusion.utils.h5cache import save_patches
             os.makedirs(cfg["RESULT_output"], exist_ok=True)
             path = os.path.join(cfg["RESULT_output"],

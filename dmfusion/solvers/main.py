@@ -223,13 +223,13 @@ class Solver(BaseSolver):
         if arity == "single":
             return (self.scene.ms,)
         if arity == "tri":
-            from dmfusion.data.scene import minmax_normalize, pad_scene
+            from dmfusion.data.scene import prep_scene
             from dmfusion.ops.ihs import ihs_transform
             mspan = ihs_transform(
                 jnp.asarray(self.scene.raw_ms, jnp.float32),
                 jnp.asarray(self.scene.raw_pan, jnp.float32),
                 jax.random.PRNGKey(int(self.cfg["seed"])))
-            mspan = pad_scene(minmax_normalize(mspan), 4 * self.scene.patch)
+            mspan = prep_scene(mspan, 4 * self.scene.patch, mspan.dtype)
             return (self.scene.ms, self.scene.pan, mspan)
         raise ValueError(f"unsupported model arity {arity!r} for MainSolver")
 

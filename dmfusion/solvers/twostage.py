@@ -68,7 +68,8 @@ class TwoStageSolver(Solver):
         (reference data_process_dqtl_stage1)."""
         cfg = self.cfg
         pic = int(cfg["dqtl"]["pic_size"])
-        ms = np.asarray(minmax_normalize(jnp.asarray(self.scene.raw_ms)))
+        from dmfusion.data.scene import minmax_normalize_jit
+        ms = np.asarray(minmax_normalize_jit(jnp.asarray(self.scene.raw_ms)))
         pan_npy = os.path.join(cfg["data_address"] or self._weights_dir(),
                                "pan.npy")
         size = (self.scene.height, self.scene.width,
@@ -89,7 +90,7 @@ class TwoStageSolver(Solver):
         if pms is None:
             pms = np.asarray(pan2ms(jnp.asarray(self.scene.raw_pan), size))
             np.save(pan_npy, pms)
-        pms = np.asarray(minmax_normalize(jnp.asarray(pms)))
+        pms = np.asarray(minmax_normalize_jit(jnp.asarray(pms)))
         ms_tiles, rows, cols = scene_to_tiles(ms, pic)
         pan_tiles, _, _ = scene_to_tiles(pms, pic)
         return ms_tiles.astype(np.float32), pan_tiles.astype(np.float32), \
@@ -234,12 +235,25 @@ class TwoStageSolver(Solver):
         pms = np.asarray(pan2ms(jnp.asarray(self.scene.raw_pan), size))
 
         def prep(arr):
-            return pad_scene(minmax_normalize(jnp.asarray(
-                np.asarray(arr, np.float32))), ps)
+            from dmfusion.data.scene import prep_scene
+            return prep_scene(jnp.asarray(np.asarray(arr, np.float32)),
+                              ps, jnp.float32)
 
         self.streams = (prep(self.scene.raw_ms), prep(pms),
                         prep(self.ms_gan), prep(self.pan_gan))
         self.scene_args = self.streams
+        # Stage 2 never touches the BaseSolver dual scene (every stream
+        # is MS-geometry) — but its device residents (MS 0.8 GB + PAN
+        # 3.2 GB at image9) stay in HBM and pushed the 35M-anchor test
+        # eval scan past one chip's capacity (observed: TPU worker
+        # crash mid-scan at image9).  Free them; keep MS if the proof
+        # phase (dual contourlet diagnostics) will need it.
+        keep_ms = bool(cfg.get("proof", {}).get("index"))
+        for name, arr in (("ms", None if keep_ms else self.scene.ms),
+                          ("pan", self.scene.pan)):
+            if arr is not None and hasattr(arr, "delete"):
+                arr.delete()
+                setattr(self.scene, name, None)
         self._stage2_ready = True
 
     def init_model(self) -> None:
