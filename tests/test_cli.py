@@ -14,6 +14,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_cli(args, cwd):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the TPU from tests
+    # The subprocess runs from a tmpdir: make the repo importable even when
+    # the editable install is absent (fresh clone / reset environment).
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run(
         [sys.executable, "-m", "dmfusion.cli"] + args,
         cwd=cwd, env=env, capture_output=True, text=True, timeout=400)
