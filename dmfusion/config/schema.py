@@ -146,6 +146,11 @@ DEFAULTS: dict[str, Any] = {
         "alpha": 0.99,         # RMSprop (reference utils/utils.py:16)
     },
     "train": {"index": 1, "pretrained": 0, "save_best": True,
+              # Accept checkpoints whose model-name/width stamp does not
+              # match this run (load what matches leniently); default
+              # refuses — a mismatched file would otherwise mix stored
+              # and freshly-initialized leaves.
+              "pretrained_lenient": 0,
               # dmfusion extension (off by default): stop training at the
               # first val-loss regression.  The reference's break
               # (mainsolver.py:74-75) only truncates its validation batch

@@ -62,6 +62,16 @@ class TwoStageSolver(Solver):
                "dP": "check_dH", "dM": "check_dZ"}[which]
         return os.path.join(self._weights_dir(), self.cfg["dqtl"][key])
 
+    def _gan_meta(self, which: str) -> dict:
+        """Identity stamp for the GAN quartet files (the WEIGHTS dir is
+        shared across runs, the same staleness class as msgan.npy)."""
+        d = self.cfg["dqtl"]
+        name = d["decoder_name"] if which in ("gP", "gM") \
+            else d["encoder_name"]
+        return {"model": str(name),
+                "width": int(self.cfg.get("gan_width", 32)),
+                "role": which}
+
     # -- stage 1 -----------------------------------------------------------
     def _stage1_tiles(self) -> tuple[np.ndarray, np.ndarray, int, int]:
         """Scene -> normalized pic_size tiles for both modalities
@@ -104,7 +114,8 @@ class TwoStageSolver(Solver):
         disc_m = build_model(cfg, enc)
         gen_m = build_model(cfg, dec)
         gen_p = build_model(cfg, dec)
-        self.gan_programs = GanPrograms(gen_p, gen_m, disc_p, disc_m, cfg)
+        self.gan_programs = GanPrograms(gen_p, gen_m, disc_p, disc_m, cfg,
+                                        mesh=self.mesh)
         rng = jax.random.PRNGKey(int(cfg["seed"]))
         channels = self.scene.raw_ms.shape[-1]
         self.gan_state = self.gan_programs.init(
@@ -114,7 +125,9 @@ class TwoStageSolver(Solver):
                 path = self._gan_ckpt(which)
                 if os.path.exists(path):
                     self.gan_state["params"][which] = load_checkpoint(
-                        path, self.gan_state["params"][which])
+                        path, self.gan_state["params"][which],
+                        expect=self._gan_meta(which),
+                        lenient=self._ckpt_lenient())
 
     def train_stage1(self) -> None:
         cfg = self.cfg
@@ -122,6 +135,11 @@ class TwoStageSolver(Solver):
         ms_tiles, pan_tiles, rows, cols = self._stage1_tiles()
         self.init_stage1_model()
         bs = int(d["batch_size"])
+        if self.mesh is not None:
+            # DP stage 1: the tile batch must divide over the mesh 'data'
+            # axis (the wrap-pad below already absorbs any batch size).
+            dsz = int(self.mesh.shape["data"])
+            bs = -(-bs // dsz) * dsz
         n = ms_tiles.shape[0]
         steps = -(-n // bs)
         pad = steps * bs - n
@@ -162,7 +180,8 @@ class TwoStageSolver(Solver):
         if d.get("save_model"):
             for which in ("gP", "gM", "dP", "dM"):
                 save_checkpoint(self._gan_ckpt(which),
-                                self.gan_state["params"][which])
+                                self.gan_state["params"][which],
+                                meta=self._gan_meta(which))
         # Reassemble the last epoch's fakes into full scenes.  Reference
         # naming preserved: ms_gan <- fake_pan, pan_gan <- fake_ms
         # (tostagesolver.py:171-172,225-226).
@@ -287,7 +306,8 @@ class TwoStageSolver(Solver):
             # (basesolver.py:107-119).
             ckpt = load_checkpoint(self.cur_weights_path(), {
                 "params": self.params, "opt_state": self.opt_state,
-                "epoch": 0})
+                "epoch": 0}, expect=self._ckpt_meta(),
+                lenient=self._ckpt_lenient())
             self.params = ckpt["params"]
             self.opt_state = ckpt["opt_state"]
             self.epoch = int(ckpt["epoch"]) + 1

@@ -26,6 +26,14 @@ grids on epoch 0 / every 20th), and 'none' — every other epoch —
 returns losses only, so stage-1 epoch memory is O(batch), not O(epoch):
 at image9 tile counts an 'all' epoch output is ~0.8 GB per modality
 (VERDICT r2 weak #4).
+
+With a ``mesh``, tile batches (and the matching noise images) shard
+over the 'data' axis via sharding constraints inside the scan — the
+same DP scheme as the classifier programs (train/steps.py): each device
+runs the D and G passes on its tile shard and XLA inserts the gradient
+``psum``s.  Numerics are identical to the single-device epoch (the
+constraint changes placement, not values; parity pinned by
+tests/test_gan.py on the 8-device CPU mesh).
 """
 
 from __future__ import annotations
@@ -35,7 +43,9 @@ from typing import Any, Mapping
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import Mesh
 
+from dmfusion.parallel.mesh import shard_batch
 from dmfusion.train.losses import l1 as l1_loss
 from dmfusion.train.losses import mse as mse_loss
 from dmfusion.train.optim import adam_beta
@@ -43,10 +53,11 @@ from dmfusion.train.optim import adam_beta
 
 class GanPrograms:
     def __init__(self, gen_p, gen_m, disc_p, disc_m,
-                 cfg: Mapping[str, Any]):
+                 cfg: Mapping[str, Any], mesh: Mesh | None = None):
         self.gen_p, self.gen_m = gen_p, gen_m
         self.disc_p, self.disc_m = disc_p, disc_m
         self.cfg = cfg
+        self.mesh = mesh
         d = cfg["dqtl"]
         self.l_cy, self.l_id, self.l_ad = (float(d["l_cy"]),
                                            float(d["l_id"]),
@@ -81,8 +92,18 @@ class GanPrograms:
     def _step(self, state: dict, m: jnp.ndarray, p: jnp.ndarray,
               key: jax.Array) -> tuple[dict, dict]:
         km, kp_ = jax.random.split(key)
-        n_m = jax.random.normal(km, m.shape, m.dtype)
-        n_p = jax.random.normal(kp_, p.shape, p.dtype)
+        # Batch-axis DP over the mesh 'data' axis: tiles AND the noise
+        # images generated for them carry the same sharding constraint,
+        # so every per-tile tensor of the D/G passes partitions and the
+        # only collectives are the gradient psums XLA inserts.  Noise
+        # values are sharding-independent (threefry bits are a pure
+        # function of key and position), so mesh and single-device
+        # epochs see identical numbers.
+        m = shard_batch(self.mesh, m)
+        p = shard_batch(self.mesh, p)
+        n_m = shard_batch(self.mesh, jax.random.normal(km, m.shape, m.dtype))
+        n_p = shard_batch(self.mesh,
+                          jax.random.normal(kp_, p.shape, p.dtype))
         params = state["params"]
 
         fake_pan = self.gen_p.apply({"params": params["gP"]}, n_m)

@@ -66,26 +66,50 @@ def test_sharded_train_step_matches_single_device(small_cfg, small_scene):
 
 
 def test_maybe_initialize_distributed_noop():
-    """Single-process default: flag unset -> no-op; flag set without a
-    coordinator env degrades gracefully (warns, returns False) rather
-    than crashing — the multi-host entry point of SURVEY §2.3."""
-    import subprocess
-    import sys
+    """Single-process default: flag unset -> no-op (SURVEY §2.3 entry
+    point)."""
     from dmfusion.parallel.mesh import maybe_initialize_distributed
     assert maybe_initialize_distributed({"mesh": {"distributed": 0}}) is False
     assert maybe_initialize_distributed(None) is False
-    # The flag path runs in a subprocess so a successful (or failed)
-    # jax.distributed init can't leak into this suite's runtime.
-    code = (
-        "import warnings; warnings.simplefilter('ignore');"
-        "from dmfusion.parallel.mesh import maybe_initialize_distributed;"
-        "out = maybe_initialize_distributed({'mesh': {'distributed': 1}});"
-        "assert out in (True, False); print('ok', out)")
-    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=240,
-                       env={**__import__('os').environ,
-                            "JAX_PLATFORMS": "cpu"})
-    assert r.returncode == 0 and "ok" in r.stdout, r.stderr[-800:]
+
+
+def test_distributed_init_failure_is_fatal(monkeypatch):
+    """An EXPLICITLY requested distributed init (mesh.distributed /
+    DMFUSION_DISTRIBUTED) must raise on failure, not warn-continue: N
+    processes silently degrading to independent single-process runs
+    each 'succeed' with no gradient sync (VERDICT r3 weak #3).  The
+    bogus-coordinator env is exercised through the kwargs plumbing with
+    a stubbed initialize so the test cannot hang on a real connect."""
+    import pytest
+    from dmfusion.parallel import mesh as pm
+
+    seen = {}
+
+    def boom(**kwargs):
+        seen.update(kwargs)
+        raise RuntimeError("failed to connect to coordinator")
+
+    monkeypatch.setattr(pm.jax.distributed, "initialize", boom)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "203.0.113.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+    with pytest.raises(RuntimeError, match="explicitly requested"):
+        pm.maybe_initialize_distributed({"mesh": {"distributed": 1}})
+    assert seen == {"coordinator_address": "203.0.113.1:1234",
+                    "num_processes": 2, "process_id": 0}
+
+    # Same via the env flag instead of the cfg flag.
+    monkeypatch.setenv("DMFUSION_DISTRIBUTED", "1")
+    with pytest.raises(RuntimeError, match="explicitly requested"):
+        pm.maybe_initialize_distributed(None)
+
+    # An already-initialized runtime is not a failure.
+    def already(**kwargs):
+        raise RuntimeError("distributed runtime is already initialized")
+
+    monkeypatch.setattr(pm.jax.distributed, "initialize", already)
+    assert pm.maybe_initialize_distributed(
+        {"mesh": {"distributed": 1}}) is True
 
 
 def test_graft_dryrun_8dev():

@@ -335,3 +335,44 @@ def test_use_h5_multiprocess_falls_back(tmp_path, monkeypatch):
     monkeypatch.setattr(main_mod.jax, "process_count", lambda: 2)
     with pytest.warns(UserWarning, match="single-process"):
         assert solver._maybe_h5_training() is None
+
+
+def test_test_only_fresh_slot_fails_loudly(tmp_path):
+    """A test-only run (train.index: 0) in a fresh slot has no weights
+    to evaluate: it must raise naming the path and the phase switches,
+    not leniently 'load' freshly-initialized params and report garbage
+    OA (VERDICT r3 weak #4)."""
+    from dmfusion.config import load_config
+    from dmfusion.solvers import build_solver
+    cfg = load_config(overrides={
+        "data_city": "synth64", "patch_size": 8, "model_width": 16,
+        "train_rate": 0.05, "verify_rate": 0.05, "seed": 0, "time": 1,
+        "train": {"index": 0}, "test": {"index": 1},
+        "expo_result": str(tmp_path) + "/",
+    }, prepare=True)
+    solver = build_solver(cfg)
+    solver.dataloader()
+    with pytest.raises(FileNotFoundError, match="train.index=0"):
+        solver.test()
+
+
+def test_mismatched_checkpoint_refused_on_eval(tmp_path):
+    """Best-weights from a different model configuration refuse to load
+    at eval time (checkpoint identity stamp, VERDICT r3 weak #5)."""
+    from dmfusion.config import load_config
+    from dmfusion.solvers import build_solver
+    from dmfusion.train.checkpoint import save_checkpoint
+    cfg = load_config(overrides={
+        "data_city": "synth64", "patch_size": 8, "model_width": 16,
+        "train_rate": 0.05, "verify_rate": 0.05, "seed": 0, "time": 1,
+        "train": {"index": 0}, "test": {"index": 1},
+        "expo_result": str(tmp_path) + "/",
+    }, prepare=True)
+    solver = build_solver(cfg)
+    solver.dataloader()
+    solver.init_model()
+    # Stale file: right path, wrong model stamp.
+    save_checkpoint(solver.best_weights_path(), solver.params,
+                    meta={"model": "somethingelse", "width": 99})
+    with pytest.raises(ValueError, match="different configuration"):
+        solver.test()
