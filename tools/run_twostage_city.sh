@@ -1,0 +1,36 @@
+#!/bin/bash
+# End-to-end two-stage (DQTL) system run at the largest DATA_DICT
+# cities on the one real chip — VERDICT r3 missing #1: the last cell of
+# the workload x city matrix.  Same synthetic-scene product recipe as
+# the round-3 dense image9/image10 capstones (train_rate sizes the
+# stage-2 train split to ~65k anchors; verify_rate ~35k val anchors),
+# reference stage schedule (10 GAN epochs, 50 stage-2 epochs,
+# config.yml:37).  ONE TPU process at a time.
+set -u
+cd /root/repo
+export PYTHONUNBUFFERED=1
+OUT=${1:-/root/tsruns}
+CITY=${2:-image9}
+mkdir -p "$OUT"
+
+probe_chip() {
+  for _ in 1 2 3 4 5 6 7 8 9 10; do
+    if timeout 120 python -c \
+      "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); print(float((x @ x).sum()))" \
+      > /dev/null 2>&1; then
+      return 0
+    fi
+    echo "--- chip probe failed; backing off 3 min $(date +%T) ---"
+    sleep 180
+  done
+  return 1
+}
+
+probe_chip || { echo "=== $CITY SKIPPED (chip unavailable) ==="; exit 1; }
+echo "=== twostage $CITY start $(date +%T) ==="
+timeout 10000 dmfusion --solver twostage --model dqtl --city "$CITY" --set \
+  train_rate=0.00186 verify_rate=0.001 epoch=50 time=1 \
+  color.index=1 expo_result="$OUT/${CITY}/" seed=0 \
+  dqtl.epochs=10 dqtl.batch_size=4 \
+  > "$OUT/${CITY}.log" 2>&1
+echo "=== twostage $CITY exit $? $(date +%T) ==="
