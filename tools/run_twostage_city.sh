@@ -11,11 +11,20 @@ cd /root/repo
 export PYTHONUNBUFFERED=1
 OUT=${1:-/root/tsruns}
 CITY=${2:-image9}
+shift 2 2>/dev/null || shift $# 2>/dev/null
+# Remaining args pass through to --set (e.g. train.resume=1
+# dqtl.pre_trained=1 to resume an interrupted run from its slot +
+# cached stage-1 artifacts).
+EXTRA=("$@")
 mkdir -p "$OUT"
 
 probe_chip() {
-  for _ in 1 2 3 4 5 6 7 8 9 10; do
-    if timeout 120 python -c \
+  # 120 s was too short: lease recovery + fresh-process compile can eat
+  # >90 s, and a timed-out probe is itself a killed TPU process that
+  # re-wedges the lease — a self-perpetuating failure loop (observed
+  # r4).  Give the probe a lease-recovery-sized window instead.
+  for _ in 1 2 3 4 5 6; do
+    if timeout 300 python -c \
       "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); print(float((x @ x).sum()))" \
       > /dev/null 2>&1; then
       return 0
@@ -31,6 +40,6 @@ echo "=== twostage $CITY start $(date +%T) ==="
 timeout 10000 dmfusion --solver twostage --model dqtl --city "$CITY" --set \
   train_rate=0.00186 verify_rate=0.001 epoch=50 time=1 \
   color.index=1 expo_result="$OUT/${CITY}/" seed=0 \
-  dqtl.epochs=10 dqtl.batch_size=4 \
+  dqtl.epochs=10 dqtl.batch_size=4 "${EXTRA[@]}" \
   > "$OUT/${CITY}.log" 2>&1
 echo "=== twostage $CITY exit $? $(date +%T) ==="
