@@ -66,8 +66,8 @@ class DualPrograms:
         self.fast_gather = _on_tpu() and not cfg.get("disable_fast_gather")
 
         self.train_epoch = jax.jit(self._train_epoch, donate_argnums=(0, 1))
-        self.eval_epoch = jax.jit(self._eval_epoch)
-        self.predict = jax.jit(self._predict)
+        self._eval_epoch_jit = jax.jit(self._eval_epoch)
+        self._predict_jit = jax.jit(self._predict)
         self.train_step = jax.jit(self._train_step, donate_argnums=(0, 1))
 
     def _use_fast(self, b: int) -> bool:
@@ -76,6 +76,72 @@ class DualPrograms:
         # samples/s); at B=4096 the Pallas DMA path wins ~3x.  The DMA
         # kernel is issue-rate bound, so it needs big batches to pay.
         return self.fast_gather and b >= 1024 and b % 64 == 0
+
+    #: Anchors per eval/predict device call.  A full-city test set
+    #: (~35M anchors at image9) as ONE device execution runs for many
+    #: minutes; the remote TPU worker was killed mid-call twice at
+    #: exactly that point (two-stage image9 test, r4) while the same
+    #: program's ~9-batch val calls ran fine 50x.  Bounding each call
+    #: to ~2M anchors (tens of seconds) keeps the worker responsive,
+    #: localizes faults, and costs only ~0.6 s of extra dispatches for
+    #: the largest city.  ``eval_scan_anchors`` in the config overrides.
+    EVAL_CHUNK_ANCHORS: int | None = 2 ** 21
+
+    def _eval_chunk_batches(self, batch: int) -> int | None:
+        """Scan-steps cap per device call, or None for no chunking
+        (DensePrograms' map/band eval must run whole)."""
+        anchors = self.cfg.get("eval_scan_anchors") or self.EVAL_CHUNK_ANCHORS
+        if not anchors:
+            return None
+        return max(1, int(anchors) // max(1, batch))
+
+    @staticmethod
+    def _pad_scan_axis(chunk: int, *arrays):
+        """Zero-pad the leading (scan) axis to a multiple of ``chunk`` so
+        every slice shares ONE jit signature (a second signature costs a
+        full remote compile).  Padding rows carry mask 0 / id 0 — the
+        gather of anchor 0 is valid and its outputs are discarded."""
+        nb = arrays[0].shape[0]
+        n = -(-nb // chunk)
+        pad = n * chunk - nb
+        if pad:
+            arrays = tuple(
+                jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+                for a in arrays)
+        return n, arrays
+
+    def eval_epoch(self, params, scene_args, ids, labels, mask):
+        """Chunked front door for `_eval_epoch`: bounded device calls,
+        results summed host-side (loss sums and confusion counts are
+        additive across batch slices)."""
+        chunk = self._eval_chunk_batches(ids.shape[-1])
+        if chunk is None or ids.shape[0] <= chunk:
+            return self._eval_epoch_jit(params, scene_args, ids, labels,
+                                        mask)
+        n, (ids, labels, mask) = self._pad_scan_axis(chunk, ids, labels,
+                                                     mask)
+        total = None
+        for i in range(n):
+            s = slice(i * chunk, (i + 1) * chunk)
+            out = self._eval_epoch_jit(params, scene_args, ids[s],
+                                       labels[s], mask[s])
+            total = out if total is None else jax.tree.map(jnp.add, total,
+                                                           out)
+        return total
+
+    def predict(self, params, scene_args, ids):
+        """Chunked front door for `_predict` (same rationale as
+        `eval_epoch`; padded rows sliced back off)."""
+        chunk = self._eval_chunk_batches(ids.shape[-1])
+        if chunk is None or ids.shape[0] <= chunk:
+            return self._predict_jit(params, scene_args, ids)
+        nb = ids.shape[0]
+        n, (idsp,) = self._pad_scan_axis(chunk, ids)
+        preds = [self._predict_jit(params, scene_args,
+                                   idsp[i * chunk:(i + 1) * chunk])
+                 for i in range(n)]
+        return jnp.concatenate(preds, axis=0)[:nb]
 
     # -- model plumbing (overridden by Tri/Quad) ---------------------------
     def example_inputs(self) -> tuple:
@@ -335,6 +401,13 @@ class DensePrograms(DualPrograms):
     band only, so city-scale dense *training* whose activations exceed
     one chip's HBM splits across the mesh (SURVEY.md §2.3 SP/CP row).
     """
+
+    # No batch-axis chunking: dense eval renders the scene map (or band
+    # SATs) ONCE and indexes anchors from it — slicing the anchor axis
+    # would recompute the whole-scene pass per slice.  Dense eval device
+    # time is map-render bound (~1 s at image9), nowhere near the
+    # long-call limit the per-anchor programs hit.
+    EVAL_CHUNK_ANCHORS = None
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)

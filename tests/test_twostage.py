@@ -152,3 +152,27 @@ def test_stale_artifact_caches_rejected(ts_cfg, tmp_path, capsys):
     s2 = TwoStageSolver(cfg2)
     with pytest.raises(ValueError, match="msgan.npy has shape"):
         s2.train_stage2_setup()
+
+
+def test_quad_chunked_eval_matches_monolithic(solver, ts_cfg):
+    """The city-scale test phase slices the ~35M-anchor eval into
+    bounded device calls (steps.py::eval_epoch); the summed
+    (loss, 5xCxC confusions) must equal the single-call program's.
+    This is the exact program shape that crashed the remote worker at
+    image9 when run as ONE multi-minute call (r4)."""
+    import jax.numpy as jnp
+    ids, labels, mask, _ = solver.batches(solver.split.test, 8)
+    mask = mask.astype(jnp.float32)
+    prog = solver.programs
+    whole = prog._eval_epoch_jit(solver.params, solver.scene_args, ids,
+                                 labels, mask)
+    prog.EVAL_CHUNK_ANCHORS = 3 * ids.shape[-1]   # force >=2 slices + pad
+    try:
+        chunked = prog.eval_epoch(solver.params, solver.scene_args, ids,
+                                  labels, mask)
+    finally:
+        del prog.EVAL_CHUNK_ANCHORS               # restore class default
+    np.testing.assert_allclose(float(chunked[0]), float(whole[0]),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(chunked[1]),
+                                  np.asarray(whole[1]))
