@@ -230,6 +230,34 @@ class BaseSolver:
         with open(path, "w") as f:
             json.dump(self.records, f)
 
+    def load_records(self) -> None:
+        """Reload a prior process's per-epoch records on resume, trimmed
+        to epochs below the resume point.  Without this a resumed run
+        (e.g. a test-only re-invocation after a crash in the test phase)
+        re-saves its freshly-initialized empty curves at the end of its
+        zero-epoch training loop, clobbering the interrupted run's
+        records.json (observed at the image9 two-stage run, r4)."""
+        import json
+        path = os.path.join(self.cfg["RESULT_output"],
+                            f"{self.time}_records.json")
+        if not os.path.exists(path):
+            return
+        try:
+            with open(path) as f:
+                loaded = json.load(f)
+        except (OSError, ValueError):
+            return
+        if not isinstance(loaded, dict) or not isinstance(
+                loaded.get("Epoch"), list):
+            return
+        keep = [i for i, e in enumerate(loaded["Epoch"])
+                if isinstance(e, int) and e < self.epoch]
+        self.records = {
+            k: [v[i] for i in keep if i < len(v)]
+            for k, v in loaded.items() if isinstance(v, list)}
+        for k in ("Epoch", "Loss", "ValLoss"):
+            self.records.setdefault(k, [])
+
     # -- profiling ---------------------------------------------------------
     def profile_start(self, tag: str) -> None:
         """Begin a jax.profiler trace when ``profile.enabled`` is set —

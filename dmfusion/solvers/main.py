@@ -529,6 +529,7 @@ class Solver(BaseSolver):
             self.params = ckpt["params"]
             self.opt_state = ckpt["opt_state"]
             self.epoch = int(ckpt["epoch"]) + 1
+            self.load_records()
             if not cfg.get("nohup"):
                 print(f"[repeat {self.time}] resumed at epoch {self.epoch}")
         h5 = self._maybe_h5_training()
@@ -679,6 +680,10 @@ class Solver(BaseSolver):
             # it records only the total train_time, mainsolver.py:86-87).
             self.records.setdefault("EpochTime", []).append(
                 round(self.now() - ep_t0, 4))
+            # Persist the curve each epoch (tiny JSON): a crash mid-train
+            # otherwise loses every recorded epoch (records were only
+            # written at the end of train()), and resume re-loads these.
+            self.save_records()
             if stop_early:
                 if not cfg.get("nohup"):
                     print(f"[repeat {self.time}] early stop at epoch "

@@ -311,6 +311,7 @@ class TwoStageSolver(Solver):
             self.params = ckpt["params"]
             self.opt_state = ckpt["opt_state"]
             self.epoch = int(ckpt["epoch"]) + 1
+            self.load_records()
             if not cfg.get("nohup"):
                 print(f"[stage2 repeat {self.time}] resumed at epoch "
                       f"{self.epoch}")
@@ -374,6 +375,8 @@ class TwoStageSolver(Solver):
             self.records.setdefault("ValOA", []).append(val_oa)
             self.records.setdefault("EpochTime", []).append(
                 round(self.now() - ep_t0, 4))
+            # Per-epoch persistence: see solvers/main.py::_train_loop.
+            self.save_records()
             if not cfg.get("nohup"):
                 msg = (f"[stage2 repeat {self.time}] epoch {self.epoch} "
                        f"loss {train_loss:.4f}")

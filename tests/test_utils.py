@@ -62,5 +62,24 @@ def test_resume_from_checkpoint(tmp_path):
     s2 = build_solver(cfg2)
     s2.dataloader()
     s2.train()
-    # Resumed at epoch 2 (after the saved epoch 1), ran 2 and 3.
-    assert s2.records["Epoch"] == [2, 3]
+    # Resumed at epoch 2 (after the saved epoch 1), ran 2 and 3 — and
+    # reloaded the first process's curve, so records hold ALL epochs.
+    assert s2.records["Epoch"] == [0, 1, 2, 3]
+
+    # A second resume with no epochs left (epoch=4 already reached) must
+    # NOT clobber records.json with empty curves (observed at the image9
+    # two-stage run, r4: a test-only re-invocation erased the 50-epoch
+    # curve).
+    import json
+    import os
+    cfg3 = load_config(overrides={
+        **base, "epoch": 4, "train": {"resume": 1}}, prepare=False)
+    cfg3.update({k: cfg[k] for k in ("RESULT", "RESULT_excel",
+                                     "RESULT_output", "FILE_NUM")})
+    s3 = build_solver(cfg3)
+    s3.dataloader()
+    s3.train()
+    with open(os.path.join(cfg["RESULT_output"], "0_records.json")) as f:
+        on_disk = json.load(f)
+    assert on_disk["Epoch"] == [0, 1, 2, 3]
+    assert len(on_disk["Loss"]) == 4
