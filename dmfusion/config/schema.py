@@ -249,6 +249,16 @@ DEFAULTS: dict[str, Any] = {
     # scheduling barriers), at the cost of ~unroll x one band's live
     # intermediates.  1 = fully sequential (the memory-bound default).
     "dense_stream_unroll": 1,
+    # Max anchors per eval/predict DEVICE CALL for the per-anchor
+    # program families (dual/one/tri/quad).  City-scale test sets
+    # (~35M anchors at image9) as ONE multi-minute device execution
+    # crashed the remote TPU worker; the chunked front door
+    # (train/steps.py::DualPrograms.eval_epoch) slices the scan axis
+    # host-side into bounded calls sharing ONE jit signature, summing
+    # loss/confusion partials on host.  "auto" = ~2M anchors/call;
+    # an integer forces that bound; "off" = one monolithic call.
+    # Dense programs ignore this (their eval is map-render bound).
+    "eval_scan_anchors": "auto",
     "profile": {"enabled": 0, "dir": "profile/"},
     "debug": {"nans": 0},              # jax_debug_nans sanitizer (SURVEY §5)
 }

@@ -89,9 +89,22 @@ class DualPrograms:
 
     def _eval_chunk_batches(self, batch: int) -> int | None:
         """Scan-steps cap per device call, or None for no chunking
-        (DensePrograms' map/band eval must run whole)."""
-        anchors = self.cfg.get("eval_scan_anchors") or self.EVAL_CHUNK_ANCHORS
-        if not anchors:
+        (DensePrograms' map/band eval must run whole).
+        ``eval_scan_anchors``: 'auto'/0/unset -> the class default;
+        'off' -> one monolithic call; an integer -> that many anchors."""
+        v = str(self.cfg.get("eval_scan_anchors", "auto")).strip().lower()
+        if v in ("auto", "", "0", "none"):
+            anchors = self.EVAL_CHUNK_ANCHORS
+        elif v in ("off", "false", "no"):
+            anchors = None
+        else:
+            try:
+                anchors = int(v)
+            except ValueError:
+                raise ValueError(
+                    f"eval_scan_anchors: unrecognized value {v!r} (use "
+                    "auto/off or an anchor count)") from None
+        if not anchors or anchors <= 0:
             return None
         return max(1, int(anchors) // max(1, batch))
 

@@ -61,6 +61,30 @@ def test_dual_chunked_predict_matches_monolithic(small_cfg, small_scene):
     np.testing.assert_array_equal(np.asarray(chunked), np.asarray(whole))
 
 
+def test_eval_scan_anchors_knob(small_cfg, small_scene):
+    """'off' -> one monolithic call; an integer -> that anchor bound;
+    garbage -> a ValueError naming the knob."""
+    import pytest
+    prog, params, args, ids, labels, mask = _dual_setup(small_cfg,
+                                                        small_scene)
+    calls = []
+    orig = prog._eval_epoch_jit
+    prog._eval_epoch_jit = lambda *a: (calls.append(a[2].shape),
+                                       orig(*a))[1]
+    prog.cfg = dict(prog.cfg, eval_scan_anchors="off")
+    prog.eval_epoch(params, args, ids, labels, mask)
+    assert calls == [ids.shape]
+
+    calls.clear()
+    prog.cfg = dict(prog.cfg, eval_scan_anchors=2 * 16)  # 2 batches/call
+    prog.eval_epoch(params, args, ids, labels, mask)
+    assert calls == [(2, 16)] * 5
+
+    prog.cfg = dict(prog.cfg, eval_scan_anchors="garbage")
+    with pytest.raises(ValueError, match="eval_scan_anchors"):
+        prog.eval_epoch(params, args, ids, labels, mask)
+
+
 def test_small_eval_stays_single_call(small_cfg, small_scene):
     """Below the cap the front door must hand the arrays straight to the
     jitted program (no padding, no extra dispatches)."""
