@@ -1,0 +1,139 @@
+"""Serving-artifact export/load round trips (dmfusion/export.py).
+
+The reference has no deployment surface (its solver stops at in-process
+``test()``/``color()``, solver/mainsolver.py:317-441); these tests pin
+the beyond-parity ``.dmx`` artifact: program+params+manifest in one
+file, symbolic-batch StableHLO, format versioning, and the CLI.
+"""
+
+import json
+import zipfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmfusion.config import load_config
+from dmfusion.export import (ARTIFACT_FORMAT, load_artifact, main,
+                             save_artifact)
+from dmfusion.models import build_model
+
+# bf16-compute models recompile through a different fusion schedule in
+# the deserialized program; ~1e-3-scale drift on O(1) logits is expected.
+ATOL = 2e-2
+
+
+def _cfg(model_name="gmfnet"):
+    return load_config(overrides={
+        "data_city": "synth64", "patch_size": 8, "model_width": 16,
+        "model_name": model_name, "seed": 0,
+    })
+
+
+def _init(cfg, shapes):
+    model = build_model(cfg)
+    ins = [jax.random.normal(jax.random.PRNGKey(i), s)
+           for i, s in enumerate(shapes)]
+    params = model.init(jax.random.PRNGKey(0), *ins)["params"]
+    return model, params, ins
+
+
+def test_dual_round_trip_symbolic_batch(tmp_path):
+    cfg = _cfg()
+    model, params, _ = _init(cfg, [(1, 8, 8, 4), (1, 32, 32, 1)])
+    path = tmp_path / "m.dmx"
+    manifest = save_artifact(path, cfg, params)
+    assert manifest["arity"] == "dual"
+    assert manifest["batch"] == "symbolic"
+    assert manifest["categories"] == cfg["Categories_Number"]
+    assert manifest["input_shapes"][0] == ["b", "8", "8", "4"]
+
+    clf = load_artifact(path)
+    assert clf.manifest["model_name"] == "gmfnet"
+    for b in (1, 5):  # one artifact, multiple batch sizes
+        key = jax.random.PRNGKey(b)
+        ms = jax.random.normal(key, (b, 8, 8, 4))
+        pan = jax.random.normal(key, (b, 32, 32, 1))
+        got = clf.logits(ms, pan)
+        want = model.apply({"params": params}, ms, pan)
+        np.testing.assert_allclose(got, want, atol=ATOL)
+        labels = clf.predict(ms, pan)
+        assert labels.shape == (b,) and labels.dtype == jnp.int32
+
+
+def test_quad_predict_uses_logit_sum_fusion(tmp_path):
+    cfg = _cfg("dqtl")
+    model, params, ins = _init(cfg, [(8, 8, 8, 4)])
+    path = tmp_path / "q.dmx"
+    save_artifact(path, cfg, params)
+    clf = load_artifact(path)
+    logits = np.asarray(model.apply({"params": params}, *ins))
+    # tostagesolver.py:337 semantics: fuse MS- and PAN-stream logits.
+    want = np.argmax(logits[:2] + logits[2:4], axis=-1)
+    np.testing.assert_array_equal(np.asarray(clf.predict(*ins)), want)
+
+
+def test_tri_round_trip(tmp_path):
+    cfg = _cfg("tri_net")
+    model, params, ins = _init(cfg, [(2, 8, 8, 4), (2, 32, 32, 1),
+                                     (2, 32, 32, 1)])
+    path = tmp_path / "t.dmx"
+    manifest = save_artifact(path, cfg, params)
+    assert len(manifest["input_shapes"]) == 3
+    clf = load_artifact(path)
+    np.testing.assert_allclose(clf.logits(*ins),
+                               model.apply({"params": params}, *ins),
+                               atol=ATOL)
+
+
+def test_fixed_batch_export(tmp_path):
+    cfg = _cfg()
+    _, params, ins = _init(cfg, [(4, 8, 8, 4), (4, 32, 32, 1)])
+    path = tmp_path / "b4.dmx"
+    manifest = save_artifact(path, cfg, params, batch=4)
+    assert manifest["batch"] == 4
+    clf = load_artifact(path)
+    assert clf.logits(*ins).shape == (4, cfg["Categories_Number"])
+
+
+def test_format_version_is_enforced(tmp_path):
+    cfg = _cfg()
+    _, params, _ = _init(cfg, [(1, 8, 8, 4), (1, 32, 32, 1)])
+    path = tmp_path / "m.dmx"
+    save_artifact(path, cfg, params)
+    bad = tmp_path / "bad.dmx"
+    with zipfile.ZipFile(path) as src, zipfile.ZipFile(bad, "w") as dst:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "manifest.json":
+                m = json.loads(data)
+                m["format"] = ARTIFACT_FORMAT + 1
+                data = json.dumps(m)
+            dst.writestr(name, data)
+    with pytest.raises(ValueError, match="format"):
+        load_artifact(bad)
+
+
+def test_dense_arity_is_rejected():
+    cfg = _cfg("dense_fusion")
+    with pytest.raises(ValueError, match="arity"):
+        save_artifact("/dev/null", cfg, {})
+
+
+def test_cli_export(tmp_path, capsys):
+    out = tmp_path / "cli.dmx"
+    main(["--city", "synth64", "--model", "gmfnet", "--random-init",
+          "--set", "patch_size=8", "model_width=16",
+          "--out", str(out)])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["arity"] == "dual" and line["out"] == str(out)
+    clf = load_artifact(out)
+    ms = jnp.zeros((2, 8, 8, 4))
+    pan = jnp.zeros((2, 32, 32, 1))
+    assert clf.predict(ms, pan).shape == (2,)
+
+
+def test_cli_requires_weights_or_random_init(tmp_path):
+    with pytest.raises(SystemExit):
+        main(["--city", "synth64", "--out", str(tmp_path / "x.dmx")])
