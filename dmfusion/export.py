@@ -124,6 +124,13 @@ def _manifest(cfg: Mapping[str, Any], exported, specs, *,
         "palette": cfg.get("DATA_DICT", {}).get(
             cfg.get("data_city", ""), {}).get("color"),
         "batch": "symbolic" if batch is None else int(batch),
+        # Reproducibility stamps: the compute precision is baked into the
+        # exported program; the seed lets a consumer regenerate the exact
+        # synthetic scene (data/scene.py::synthetic_scene) the model was
+        # trained against when no real data ships with the artifact.
+        "seed": int(cfg.get("seed", 0)),
+        "compute_dtype": str(cfg.get("precision", {}).get(
+            "compute_dtype", "bfloat16")),
         "platforms": list(exported.platforms),
         "input_shapes": [list(map(str, s.shape)) for s in specs],
         "jax_version": jax.__version__,

@@ -1,0 +1,247 @@
+"""Serving-side scene inference from a ``.dmx`` artifact.
+
+`dmfusion/export.py` packages a trained classifier as one portable file;
+this module is the consumer: it runs that artifact over a city scene —
+patch-window extraction, bucketed batching, the arity's decision rule,
+OA/AA/kappa against the scene labels, and palette class-map rendering —
+WITHOUT the solver stack.  Together they close the deployment loop the
+reference lacks entirely (its evaluation lives inside the training
+process, solver/mainsolver.py:317-441).
+
+TPU-serving detail that shapes the API: the artifact's batch dimension
+is exported symbolically, but XLA still specializes one executable per
+concrete shape, and on TPU each new shape is a fresh (expensive)
+compile.  ``ScenePredictor`` therefore pads every anchor chunk to ONE
+fixed ``bucket`` size, so an arbitrarily shaped workload costs exactly
+one program compile.
+
+Console script: ``dmfusion-infer`` (see ``main``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+import numpy as np
+
+_SUPPORTED_ARITIES = ("dual", "single", "tri")
+
+
+class ScenePredictor:
+    """Per-anchor scene classification through a loaded ``.dmx`` artifact.
+
+    Window semantics match training exactly (``data/patches.py``): the
+    MS anchor (x, y) owns a ``ps`` window, the PAN anchor (4x, 4y) a
+    ``4*ps`` window; the tri arity adds the seeded IHS MSPAN stream the
+    solver builds (solvers/main.py::_make_scene_args).
+    """
+
+    def __init__(self, clf, scene, *, bucket: int = 4096,
+                 seed: int = 0):
+        arity = clf.manifest["arity"]
+        if arity not in _SUPPORTED_ARITIES:
+            raise ValueError(
+                f"arity {arity!r} artifacts cannot run standalone scene "
+                f"inference (quad needs the stage-1 GAN streams — use the "
+                f"two-stage solver, solvers/twostage.py)")
+        if int(clf.manifest["patch_size"]) != int(scene.patch):
+            raise ValueError(
+                f"scene was padded for patch_size={scene.patch} but the "
+                f"artifact expects {clf.manifest['patch_size']}")
+        self.clf = clf
+        self.scene = scene
+        self.arity = arity
+        self.bucket = int(bucket)
+        # Scenes may be stored bf16 (precision.scene_dtype); the gathered
+        # windows are cast to the exported program's f32 signature in
+        # ``_gather`` (exact: bf16 -> f32 is value-preserving) rather
+        # than pre-casting the whole scene, which would double HBM at
+        # 50M-px city scale.
+        self._scene_args = self._make_scene_args(seed)
+
+    def _make_scene_args(self, seed: int) -> tuple:
+        import jax
+        import jax.numpy as jnp
+
+        s = self.scene
+        if self.arity == "dual":
+            return (s.ms, s.pan)
+        if self.arity == "single":
+            return (s.ms,)
+        # tri: the IHS-fused MSPAN stream at PAN geometry, same seed
+        # convention as the training solver (solvers/main.py:323-331).
+        from dmfusion.data.scene import prep_scene
+        from dmfusion.ops.ihs import ihs_transform
+        mspan = ihs_transform(jnp.asarray(s.raw_ms, jnp.float32),
+                              jnp.asarray(s.raw_pan, jnp.float32),
+                              jax.random.PRNGKey(seed))
+        mspan = prep_scene(mspan, 4 * s.patch, mspan.dtype)
+        return (s.ms, s.pan, mspan)
+
+    def _gather(self, ids_b):
+        import jax.numpy as jnp
+
+        from dmfusion.data.patches import (gather_dual, gather_one,
+                                           gather_tri)
+        w, ps = self.scene.width, self.scene.patch
+        if self.arity == "dual":
+            out = gather_dual(*self._scene_args, ids_b, w, ps)
+        elif self.arity == "single":
+            out = (gather_one(self._scene_args[0], ids_b, w, ps),)
+        else:
+            out = gather_tri(*self._scene_args, ids_b, w, ps)
+        return tuple(x.astype(jnp.float32) for x in out)
+
+    def predict_ids(self, ids: np.ndarray) -> np.ndarray:
+        """Flat anchor ids -> predicted class id per anchor (class ids
+        are raw label values: palette row indices, 0 = background)."""
+        import jax.numpy as jnp
+
+        ids = np.asarray(ids, np.int32)
+        n = ids.shape[0]
+        out = np.empty((n,), np.int32)
+        b = self.bucket
+        for lo in range(0, n, b):
+            chunk = ids[lo:lo + b]
+            if chunk.shape[0] < b:  # pad to the one compiled bucket shape
+                chunk = np.pad(chunk, (0, b - chunk.shape[0]))
+            preds = self.clf.predict(*self._gather(jnp.asarray(chunk)))
+            out[lo:lo + b] = np.asarray(preds)[:min(b, n - lo)]
+        return out
+
+    def class_map(self, ids: np.ndarray | None = None) -> np.ndarray:
+        """(H, W) int32 class map over ``ids`` (default: every pixel);
+        anchors not in ``ids`` stay class 0."""
+        s = self.scene
+        if ids is None:
+            ids = np.arange(s.num_pixels, dtype=np.int32)
+        label = np.zeros((s.height, s.width), np.int32)
+        x, y = s.ids_to_xy(np.asarray(ids, np.int32))
+        label[x, y] = self.predict_ids(ids)
+        return label
+
+    def evaluate(self, ids: np.ndarray | None = None) -> dict[str, Any]:
+        """OA/AA/kappa over the scene's labeled pixels (or ``ids``),
+        reference metric semantics (ops/metrics.py)."""
+        from dmfusion.data.scene import split_labels
+        from dmfusion.ops.metrics import aa_oa, confusion_matrix
+
+        if ids is None:
+            ids, _ = split_labels(self.scene.label)
+        ids = np.asarray(ids, np.int32)
+        targets = self.scene.label.reshape(-1)[ids].astype(np.int32)
+        ncls = int(self.clf.manifest["categories"])
+        if targets.size and int(targets.max()) >= ncls:
+            raise ValueError(
+                f"scene labels reach class {int(targets.max())} but the "
+                f"artifact has {ncls} classes — wrong city?")
+        preds = self.predict_ids(ids)
+        conf = np.asarray(confusion_matrix(preds, targets, ncls))
+        aa, oa, kap, _ = aa_oa(conf)
+        return {"oa": oa, "aa": aa, "kappa": kap,
+                "pixels": int(ids.shape[0]), "confusion": conf}
+
+
+def main(argv: list[str] | None = None) -> None:
+    """``dmfusion-infer``: classify a city scene with a ``.dmx`` artifact.
+
+    Writes the all-pixels and labeled-only class maps (the reference's
+    map2/map1, solver/mainsolver.py:155-201) and prints ONE JSON line
+    with metrics + wall times.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="dmfusion-infer")
+    ap.add_argument("--artifact", required=True, help=".dmx file")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--city", default=None,
+                    help="default: the artifact's data_city")
+    ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE")
+    ap.add_argument("--bucket", type=int, default=4096)
+    ap.add_argument("--no-maps", action="store_true",
+                    help="metrics only, skip map rendering")
+    ap.add_argument("--out", default=None,
+                    help="output dir (default: alongside the artifact)")
+    args = ap.parse_args(argv)
+
+    from dmfusion.cli import _nest, _parse_value
+    from dmfusion.export import load_artifact
+
+    clf = load_artifact(args.artifact)
+    overrides: dict[str, Any] = {}
+    for item in args.set:
+        key, _, value = item.partition("=")
+        overrides[key] = _parse_value(value)
+    overrides = _nest(overrides)
+    overrides["data_city"] = args.city or clf.manifest["data_city"]
+    overrides["patch_size"] = int(clf.manifest["patch_size"])
+    # Default to the training seed stamped at export time — synthetic
+    # scenes are seed-derived, so a mismatched seed silently evaluates
+    # against a DIFFERENT scene (caught during verify: OA 0.26 vs 0.39).
+    if "seed" not in overrides and clf.manifest.get("seed") is not None:
+        overrides["seed"] = int(clf.manifest["seed"])
+
+    import jax
+
+    from dmfusion.config import load_config
+    cfg = load_config(args.config, overrides=overrides)
+    if str(cfg.get("device", "")).lower() == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+    import jax.numpy as jnp
+
+    from dmfusion.data.scene import load_scene, split_labels
+    from dmfusion.ops.metrics import render_class_map
+
+    t0 = time.time()
+    scene = load_scene(cfg)
+    pred = ScenePredictor(clf, scene, bucket=args.bucket,
+                          seed=int(cfg.get("seed", 0)))
+    labeled, unlabeled = split_labels(scene.label)
+    result: dict[str, Any] = {
+        "artifact": args.artifact,
+        "model": clf.manifest["model_name"],
+        "city": cfg["data_city"],
+        "pixels": int(scene.num_pixels),
+    }
+    metrics = pred.evaluate(labeled)
+    metrics.pop("confusion")
+    result.update(metrics)
+    result["eval_s"] = round(time.time() - t0, 3)
+
+    if not args.no_maps:
+        t1 = time.time()
+        out_dir = args.out or (os.path.dirname(
+            os.path.abspath(args.artifact)) or ".")
+        os.makedirs(out_dir, exist_ok=True)
+        # The city palette when it matches the artifact's class count,
+        # else the palette stamped into the manifest at export time.
+        palette = cfg["DATA_DICT"][cfg["data_city"]]["color"]
+        if len(palette) != int(clf.manifest["categories"]):
+            palette = clf.manifest["palette"]
+        pal = jnp.asarray(np.asarray(palette, np.uint8))
+        full = pred.class_map()
+        sup = np.zeros_like(full)
+        x, y = scene.ids_to_xy(labeled)
+        sup[x, y] = full[x, y]
+        from PIL import Image
+        stem = os.path.splitext(os.path.basename(args.artifact))[0]
+        paths = []
+        for tag, lab in (("1", sup), ("2", full)):
+            img = np.asarray(render_class_map(jnp.asarray(lab), pal))
+            p = os.path.join(out_dir, f"{stem}_pic_{tag}.png")
+            Image.fromarray(img).save(p)
+            paths.append(p)
+        result["maps"] = paths
+        result["map_s"] = round(time.time() - t1, 3)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

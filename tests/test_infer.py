@@ -1,0 +1,151 @@
+"""Serving-side inference from .dmx artifacts (dmfusion/infer.py).
+
+Pins the consumer half of the deployment loop: bucketed prediction is
+bit-identical to the in-process model, maps/metrics match solver
+conventions, and the CLI runs export -> infer end-to-end.  (The
+reference has no deployment surface at all — its eval lives inside the
+training process, solver/mainsolver.py:317-441.)
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmfusion.config import load_config
+from dmfusion.data.scene import split_labels, synthetic_scene
+from dmfusion.export import load_artifact, save_artifact
+from dmfusion.export import main as export_main
+from dmfusion.infer import ScenePredictor
+from dmfusion.infer import main as infer_main
+from dmfusion.models import build_model
+
+
+def _cfg(model_name="gmfnet", **over):
+    return load_config(overrides={
+        "data_city": "synth64", "patch_size": 8, "model_width": 16,
+        "model_name": model_name, "seed": 0, **over,
+    })
+
+
+def _artifact(tmp_path, cfg, shapes):
+    model = build_model(cfg)
+    ins = [jax.random.normal(jax.random.PRNGKey(i), s)
+           for i, s in enumerate(shapes)]
+    params = model.init(jax.random.PRNGKey(0), *ins)["params"]
+    path = tmp_path / "m.dmx"
+    save_artifact(path, cfg, params)
+    return load_artifact(path), model, params, path
+
+
+def test_bucketed_predict_matches_one_shot_program(tmp_path):
+    """Bucket padding/slicing is exact: chunked predictions equal ONE
+    call of the same exported program over all windows at once (the
+    program is deterministic per input, so any bucketing bug — wrong
+    pad slice, id misalignment — shows up bit-for-bit)."""
+    cfg = _cfg()
+    clf, _, _, _ = _artifact(
+        tmp_path, cfg, [(1, 8, 8, 4), (1, 32, 32, 1)])
+    scene = synthetic_scene(cfg)
+    pred = ScenePredictor(clf, scene, bucket=64)
+    # A ragged id set: 3 full buckets + a partial tail that gets padded.
+    ids = np.arange(0, 200, dtype=np.int32) * 7 % scene.num_pixels
+    got = pred.predict_ids(ids)
+
+    from dmfusion.data.patches import gather_dual
+    ms_b, pan_b = gather_dual(scene.ms, scene.pan, jnp.asarray(ids),
+                              scene.width, scene.patch)
+    want = np.asarray(clf.predict(ms_b.astype(jnp.float32),
+                                  pan_b.astype(jnp.float32)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_class_map_and_evaluate(tmp_path):
+    cfg = _cfg()
+    clf, _, _, _ = _artifact(tmp_path, cfg, [(1, 8, 8, 4), (1, 32, 32, 1)])
+    scene = synthetic_scene(cfg)
+    pred = ScenePredictor(clf, scene, bucket=512)
+    full = pred.class_map()
+    assert full.shape == (scene.height, scene.width)
+    assert full.min() >= 0 and full.max() < clf.manifest["categories"]
+
+    labeled, _ = split_labels(scene.label)
+    m = pred.evaluate()
+    assert m["pixels"] == labeled.shape[0]
+    assert 0.0 <= m["oa"] <= 1.0 and m["confusion"].sum() == m["pixels"]
+    # The map agrees with per-id predictions on the labeled anchors.
+    x, y = scene.ids_to_xy(labeled)
+    np.testing.assert_array_equal(full[x, y], pred.predict_ids(labeled))
+
+
+def test_tri_arity_runs(tmp_path):
+    cfg = _cfg("tri_net")
+    clf, _, _, _ = _artifact(
+        tmp_path, cfg, [(1, 8, 8, 4), (1, 32, 32, 1), (1, 32, 32, 1)])
+    scene = synthetic_scene(cfg)
+    pred = ScenePredictor(clf, scene, bucket=128)
+    preds = pred.predict_ids(np.arange(100, dtype=np.int32))
+    assert preds.shape == (100,)
+
+
+def test_quad_artifact_is_rejected(tmp_path):
+    cfg = _cfg("dqtl")
+    clf, _, _, _ = _artifact(tmp_path, cfg, [(8, 8, 8, 4)])
+    with pytest.raises(ValueError, match="two-stage"):
+        ScenePredictor(clf, synthetic_scene(cfg))
+
+
+def test_patch_size_mismatch_is_rejected(tmp_path):
+    cfg = _cfg()
+    clf, _, _, _ = _artifact(tmp_path, cfg, [(1, 8, 8, 4), (1, 32, 32, 1)])
+    wrong = synthetic_scene(_cfg(patch_size=16))
+    with pytest.raises(ValueError, match="patch_size"):
+        ScenePredictor(clf, wrong)
+
+
+def test_cli_export_then_infer(tmp_path, capsys):
+    art = tmp_path / "cli.dmx"
+    export_main(["--city", "synth64", "--model", "gmfnet", "--random-init",
+                 "--set", "patch_size=8", "model_width=16",
+                 "--out", str(art)])
+    capsys.readouterr()
+    infer_main(["--artifact", str(art), "--bucket", "512",
+                "--out", str(tmp_path)])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["city"] == "synth64" and line["model"] == "gmfnet"
+    assert {"oa", "aa", "kappa", "pixels", "maps"} <= set(line)
+    import os
+    assert all(os.path.exists(p) for p in line["maps"])
+
+
+def test_manifest_stamps_seed_and_infer_defaults_to_it(tmp_path, capsys):
+    """The artifact records the training seed; `dmfusion-infer` without
+    an explicit seed must evaluate the SAME (seed-derived synthetic)
+    scene — a mismatched seed silently scores a different scene (found
+    live: OA 0.26 vs 0.39 on the same artifact)."""
+    cfg = _cfg(seed=1234)
+    clf, _, _, art = _artifact(
+        tmp_path, cfg, [(1, 8, 8, 4), (1, 32, 32, 1)])
+    assert clf.manifest["seed"] == 1234
+    assert clf.manifest["compute_dtype"] == str(
+        cfg["precision"]["compute_dtype"])
+    infer_main(["--artifact", str(art), "--no-maps", "--bucket", "512"])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    scene = synthetic_scene(cfg)  # seed 1234 scene, NOT the default seed
+    labeled, _ = split_labels(scene.label)
+    assert line["pixels"] == labeled.shape[0]
+    want = ScenePredictor(clf, scene, bucket=512).evaluate()
+    assert line["oa"] == pytest.approx(want["oa"])
+
+
+def test_cli_metrics_only(tmp_path, capsys):
+    art = tmp_path / "m.dmx"
+    export_main(["--city", "synth64", "--model", "gmfnet", "--random-init",
+                 "--set", "patch_size=8", "model_width=16",
+                 "--out", str(art)])
+    capsys.readouterr()
+    infer_main(["--artifact", str(art), "--no-maps", "--bucket", "512"])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "maps" not in line and 0.0 <= line["oa"] <= 1.0
