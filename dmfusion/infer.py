@@ -27,7 +27,7 @@ from typing import Any
 
 import numpy as np
 
-_SUPPORTED_ARITIES = ("dual", "single", "tri")
+_SUPPORTED_ARITIES = ("dual", "single", "tri", "quad")
 
 
 class ScenePredictor:
@@ -40,13 +40,19 @@ class ScenePredictor:
     """
 
     def __init__(self, clf, scene, *, bucket: int = 4096,
-                 seed: int = 0):
+                 seed: int = 0, gan_dir: str | None = None):
         arity = clf.manifest["arity"]
         if arity not in _SUPPORTED_ARITIES:
             raise ValueError(
                 f"arity {arity!r} artifacts cannot run standalone scene "
-                f"inference (quad needs the stage-1 GAN streams — use the "
-                f"two-stage solver, solvers/twostage.py)")
+                f"inference")
+        if arity == "quad" and gan_dir is None:
+            raise ValueError(
+                "quad (DQTL) artifacts need the stage-1 GAN scene "
+                "artifacts: pass gan_dir / --gan-weights pointing at the "
+                "dir holding msgan.npy + pangan.npy (written by the "
+                "two-stage solver's stage 1, solvers/twostage.py), or "
+                "run the two-stage solver directly")
         if int(clf.manifest["patch_size"]) != int(scene.patch):
             raise ValueError(
                 f"scene was padded for patch_size={scene.patch} but the "
@@ -60,9 +66,9 @@ class ScenePredictor:
         # ``_gather`` (exact: bf16 -> f32 is value-preserving) rather
         # than pre-casting the whole scene, which would double HBM at
         # 50M-px city scale.
-        self._scene_args = self._make_scene_args(seed)
+        self._scene_args = self._make_scene_args(seed, gan_dir)
 
-    def _make_scene_args(self, seed: int) -> tuple:
+    def _make_scene_args(self, seed: int, gan_dir: str | None) -> tuple:
         import jax
         import jax.numpy as jnp
 
@@ -71,6 +77,8 @@ class ScenePredictor:
             return (s.ms, s.pan)
         if self.arity == "single":
             return (s.ms,)
+        if self.arity == "quad":
+            return self._quad_streams(gan_dir)
         # tri: the IHS-fused MSPAN stream at PAN geometry, same seed
         # convention as the training solver (solvers/main.py:323-331).
         from dmfusion.data.scene import prep_scene
@@ -80,6 +88,40 @@ class ScenePredictor:
                               jax.random.PRNGKey(seed))
         mspan = prep_scene(mspan, 4 * s.patch, mspan.dtype)
         return (s.ms, s.pan, mspan)
+
+    def _quad_streams(self, gan_dir: str) -> tuple:
+        """The DQTL 4 streams at MS geometry, built exactly like stage 2
+        of the two-stage solver (solvers/twostage.py::train_stage2_setup):
+        (raw MS, pan2ms(PAN), GAN fake-MS, GAN fake-PAN), each
+        normalize+pad+f32 via ``prep_scene``."""
+        import jax.numpy as jnp
+
+        from dmfusion.data.scene import prep_scene
+        from dmfusion.ops.ihs import pan2ms
+
+        s = self.scene
+        size = (s.height, s.width, s.raw_ms.shape[-1])
+        gan = {}
+        for name in ("msgan.npy", "pangan.npy"):
+            path = os.path.join(gan_dir, name)
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"{path}: stage-1 GAN artifact missing (produced by "
+                    f"the two-stage solver's stage 1)")
+            arr = np.load(path)
+            if tuple(arr.shape) != size:
+                raise ValueError(
+                    f"{path} has shape {tuple(arr.shape)} but this scene "
+                    f"needs {size} — artifacts from a different city?")
+            gan[name] = arr
+        pms = pan2ms(jnp.asarray(s.raw_pan), size)
+
+        def prep(arr):
+            return prep_scene(jnp.asarray(np.asarray(arr, np.float32)),
+                              s.patch, jnp.float32)
+
+        return (prep(s.raw_ms), prep(pms),
+                prep(gan["msgan.npy"]), prep(gan["pangan.npy"]))
 
     def _use_fast(self) -> bool:
         # Same routing as training (train/steps.py::_use_fast): on TPU,
@@ -95,22 +137,32 @@ class ScenePredictor:
         if self._use_fast():
             from dmfusion.ops.pallas_gather import (gather_dual_fast,
                                                     gather_one_fast,
+                                                    gather_quad_fast,
                                                     gather_tri_fast)
             if self.arity == "dual":
                 out = gather_dual_fast(*self._scene_args, ids_b, w, ps)
             elif self.arity == "single":
                 out = (gather_one_fast(self._scene_args[0], ids_b, w, ps),)
+            elif self.arity == "quad":
+                out = gather_quad_fast(*self._scene_args, ids_b, w, ps)
             else:
                 out = gather_tri_fast(*self._scene_args, ids_b, w, ps)
         else:
             from dmfusion.data.patches import (gather_dual, gather_one,
-                                               gather_tri)
+                                               gather_quad, gather_tri)
             if self.arity == "dual":
                 out = gather_dual(*self._scene_args, ids_b, w, ps)
             elif self.arity == "single":
                 out = (gather_one(self._scene_args[0], ids_b, w, ps),)
+            elif self.arity == "quad":
+                out = gather_quad(*self._scene_args, ids_b, w, ps)
             else:
                 out = gather_tri(*self._scene_args, ids_b, w, ps)
+        if self.arity == "quad":
+            # The quad model consumes the 4 streams concatenated along
+            # batch (tostagesolver.py:271); clf.predict's logit-sum rule
+            # splits rows back by // 4.
+            out = (jnp.concatenate(out, axis=0),)
         return tuple(x.astype(jnp.float32) for x in out)
 
     def predict_ids(self, ids: np.ndarray) -> np.ndarray:
@@ -179,6 +231,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="default: the artifact's data_city")
     ap.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE")
     ap.add_argument("--bucket", type=int, default=4096)
+    ap.add_argument("--gan-weights", default=None, metavar="DIR",
+                    help="stage-1 GAN artifacts dir (msgan.npy + "
+                         "pangan.npy) — required for quad artifacts")
     ap.add_argument("--no-maps", action="store_true",
                     help="metrics only, skip map rendering")
     ap.add_argument("--out", default=None,
@@ -219,7 +274,8 @@ def main(argv: list[str] | None = None) -> None:
     t0 = time.time()
     scene = load_scene(cfg)
     pred = ScenePredictor(clf, scene, bucket=args.bucket,
-                          seed=int(cfg.get("seed", 0)))
+                          seed=int(cfg.get("seed", 0)),
+                          gan_dir=args.gan_weights)
     labeled, unlabeled = split_labels(scene.label)
     result: dict[str, Any] = {
         "artifact": args.artifact,

@@ -90,11 +90,52 @@ def test_tri_arity_runs(tmp_path):
     assert preds.shape == (100,)
 
 
-def test_quad_artifact_is_rejected(tmp_path):
+def test_quad_artifact_requires_gan_dir(tmp_path):
     cfg = _cfg("dqtl")
     clf, _, _, _ = _artifact(tmp_path, cfg, [(8, 8, 8, 4)])
-    with pytest.raises(ValueError, match="two-stage"):
+    with pytest.raises(ValueError, match="gan"):
         ScenePredictor(clf, synthetic_scene(cfg))
+
+
+def _write_gan_artifacts(tmp_path, scene, shape=None):
+    rng = np.random.default_rng(7)
+    size = shape or (scene.height, scene.width, scene.raw_ms.shape[-1])
+    np.save(tmp_path / "msgan.npy",
+            rng.standard_normal(size).astype(np.float32))
+    np.save(tmp_path / "pangan.npy",
+            rng.standard_normal(size).astype(np.float32))
+    return str(tmp_path)
+
+
+def test_quad_serving_matches_one_shot_program(tmp_path):
+    """Quad serving builds the stage-2 streams exactly like the
+    two-stage solver and bucket-predicts bit-identically to one call
+    of the exported program over the manually assembled 4B input."""
+    cfg = _cfg("dqtl")
+    clf, _, _, _ = _artifact(tmp_path, cfg, [(8, 8, 8, 4)])
+    scene = synthetic_scene(cfg)
+    gan_dir = _write_gan_artifacts(tmp_path, scene)
+    pred = ScenePredictor(clf, scene, bucket=64, gan_dir=gan_dir)
+    ids = np.arange(0, 150, dtype=np.int32) * 11 % scene.num_pixels
+    got = pred.predict_ids(ids)
+    assert got.shape == (150,)
+
+    from dmfusion.data.patches import gather_quad
+    parts = gather_quad(*pred._scene_args, jnp.asarray(ids),
+                        scene.width, scene.patch)
+    want = np.asarray(clf.predict(
+        jnp.concatenate(parts, axis=0).astype(jnp.float32)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_quad_serving_rejects_wrong_city_artifacts(tmp_path):
+    cfg = _cfg("dqtl")
+    clf, _, _, _ = _artifact(tmp_path, cfg, [(8, 8, 8, 4)])
+    scene = synthetic_scene(cfg)
+    gan_dir = _write_gan_artifacts(
+        tmp_path, scene, shape=(scene.height + 2, scene.width, 4))
+    with pytest.raises(ValueError, match="different city"):
+        ScenePredictor(clf, scene, gan_dir=gan_dir)
 
 
 def test_patch_size_mismatch_is_rejected(tmp_path):
