@@ -119,6 +119,62 @@ def torch_cpu_baseline(ms_pad: np.ndarray, pan_pad: np.ndarray,
     return n_patches / dt
 
 
+BASELINE_JSON = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE.json")
+
+
+def pinned_baseline() -> float | None:
+    """The calibrated torch-CPU baseline (patches/s) from BASELINE.json.
+
+    The in-run measurement swings >3x with shared-core contention
+    (BENCH_r01-r04: 210-685 patches/s with zero dmfusion perf change),
+    so the headline ``vs_baseline`` ratio uses this pinned constant
+    (VERDICT r4 weak #4).  Recalibrate with
+    ``python bench.py --calibrate-baseline`` on an idle core."""
+    try:
+        with open(BASELINE_JSON) as f:
+            cal = json.load(f).get("torch_cpu_calibrated") or {}
+        v = float(cal.get("patches_per_sec", 0))
+        return v if v > 0 else None
+    except Exception:
+        return None
+
+
+def calibrate_baseline() -> None:
+    """Measure the torch-CPU reference pipeline median-of-5 with
+    torch.set_num_threads(1) pinned and record it (+ procedure) into
+    BASELINE.json.  Run on an idle core."""
+    import statistics
+
+    import torch
+    torch.set_num_threads(1)
+    cfg = build_cfg()
+    from dmfusion.data import synthetic_scene
+    scene = synthetic_scene(cfg)
+    ms_np = np.asarray(scene.ms, np.float32)
+    pan_np = np.asarray(scene.pan, np.float32)
+    samples = [torch_cpu_baseline(ms_np, pan_np, BASELINE_PATCHES)
+               for _ in range(5)]
+    med = statistics.median(samples)
+    with open(BASELINE_JSON) as f:
+        data = json.load(f)
+    data["torch_cpu_calibrated"] = {
+        "patches_per_sec": round(med, 1),
+        "samples": [round(s, 1) for s in samples],
+        "procedure": (
+            "median of 5 runs of bench.py::torch_cpu_baseline (each "
+            "itself best-of-3 passes over 1536 random image6 anchors, "
+            "batch 300, per-sample numpy crops + FLOP-equivalent dual "
+            "conv net), torch.set_num_threads(1), idle single core"),
+    }
+    tmp = BASELINE_JSON + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=2)
+    os.replace(tmp, BASELINE_JSON)
+    print(f"calibrated torch-CPU baseline: {med:.1f} patches/s "
+          f"(samples {[round(s, 1) for s in samples]})")
+
+
 def main() -> None:
     t_start = time.time()
     cfg = build_cfg()
@@ -134,8 +190,13 @@ def main() -> None:
     ms_np = np.asarray(scene.ms, np.float32)
     pan_np = np.asarray(scene.pan, np.float32)
 
-    baseline = torch_cpu_baseline(ms_np, pan_np, BASELINE_PATCHES)
-    print(f"# torch-CPU baseline: {baseline:.1f} patches/s", file=sys.stderr)
+    baseline_inrun = torch_cpu_baseline(ms_np, pan_np, BASELINE_PATCHES)
+    pinned = pinned_baseline()
+    # The ratio denominator is the PINNED calibrated constant; the
+    # in-run sample (contention-noisy) is reported alongside for sanity.
+    baseline = pinned if pinned is not None else baseline_inrun
+    print(f"# torch-CPU baseline: pinned {pinned} / in-run "
+          f"{baseline_inrun:.1f} patches/s", file=sys.stderr)
 
     model = build_model(cfg, "gmfnet")
     prog = DualPrograms(model, make_optimizer(cfg, 1), cfg, scene.width,
@@ -263,8 +324,20 @@ def main() -> None:
         "value": round(best, 1),
         "unit": "patches/sec/chip",
         "vs_baseline": round(best / baseline, 2),
+        # Absolute first-class numbers (VERDICT r4 weak #4): these are
+        # the stable round-over-round comparables; the ratio depends on
+        # the pinned torch-CPU calibration in BASELINE.json.
+        "dense_ms_per_pass": round(ddt * 1e3, 2),
+        "dense_px_per_s": round(dense_pps, 1),
+        "patchwise_patches_per_s": round(patchwise, 1),
+        "baseline_patches_per_s": round(baseline, 1),
+        "baseline_inrun_patches_per_s": round(baseline_inrun, 1),
+        "baseline_pinned": pinned is not None,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--calibrate-baseline" in sys.argv:
+        calibrate_baseline()
+    else:
+        main()

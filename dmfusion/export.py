@@ -56,6 +56,24 @@ _ARITY_SPECS: dict[str, tuple[tuple[int | None, ...], ...]] = {
 }
 
 
+def _dense_specs(cfg: Mapping[str, Any]) -> tuple[Any, ...]:
+    """Whole-scene input specs for the dense family: the exported unit
+    is the scene, not a patch batch.  Shapes are the city's padded
+    scene geometry (data/scene.py::Scene — MS (H+ps-1, W+ps-1, C),
+    PAN (4H+4ps-1, 4W+4ps-1)), dtype the training scene storage dtype
+    (``precision.scene_dtype``)."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w, c = cfg["DATA_DICT"][cfg["data_city"]]["size"]
+    ps = int(cfg["patch_size"])
+    dt = jnp.dtype(str(cfg.get("precision", {}).get("scene_dtype",
+                                                    "float32")))
+    return (jax.ShapeDtypeStruct((h + ps - 1, w + ps - 1, c), dt),
+            jax.ShapeDtypeStruct((4 * h + 4 * ps - 1, 4 * w + 4 * ps - 1),
+                                 dt))
+
+
 def _resolve_specs(arity: str, patch: int,
                    batch: int | None) -> tuple[Any, ...]:
     """Concrete ``ShapeDtypeStruct`` inputs for ``arity``; ``batch=None``
@@ -66,7 +84,7 @@ def _resolve_specs(arity: str, patch: int,
 
     if arity not in _ARITY_SPECS:
         raise ValueError(f"model arity {arity!r} has no export signature "
-                         f"(known: {sorted(_ARITY_SPECS)})")
+                         f"(known: {sorted(_ARITY_SPECS) + ['dense']})")
     if batch is None:
         (b,) = jexport.symbolic_shape("b")
     else:
@@ -96,9 +114,40 @@ def export_program(cfg: Mapping[str, Any], params: Any, *,
     model = build_model(cfg)
     from dmfusion.models.registry import model_arity
     arity = model_arity(cfg["model_name"])
-    specs = _resolve_specs(arity, int(cfg["patch_size"]), batch)
     param_specs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+
+    if arity == "dense":
+        # The flagship's serving unit is the whole-scene class map
+        # (DensePrograms.predict_map): one call classifies every pixel,
+        # streamed in sequential row bands for city-scale scenes
+        # (cfg ``dense_streams``/``dense_streams_infer`` — resolve/pin
+        # the band count at export time, e.g. --set
+        # dense_streams_infer=4 for the image9 autotuned pick).
+        from dmfusion.train.optim import make_optimizer
+        from dmfusion.train.steps import DensePrograms
+        pcfg = dict(cfg)
+        if "cpu" in platforms:
+            # The fused Pallas pool is a TPU Mosaic kernel — it cannot
+            # lower for the cpu platform.  The XLA phase-mix pool is
+            # bit-identical (tests/test_dense.py); city-scale streamed
+            # maps run pool-off anyway (BENCH_NOTES round 3).
+            pcfg["precision"] = dict(pcfg.get("precision", {}),
+                                     pallas_pool=0)
+        h, w, _ = pcfg["DATA_DICT"][pcfg["data_city"]]["size"]
+        prog = DensePrograms(model, make_optimizer(pcfg, 1), pcfg,
+                             int(w), int(pcfg["patch_size"]), None)
+        specs = _dense_specs(pcfg)
+
+        def forward(params, ms, pan):
+            return prog.predict_map(params, (ms, pan))
+
+        exported = jexport.export(
+            jax.jit(forward), platforms=list(platforms))(param_specs,
+                                                         *specs)
+        return exported, specs
+
+    specs = _resolve_specs(arity, int(cfg["patch_size"]), batch)
 
     def forward(params, *inputs):
         return model.apply({"params": params}, *inputs)
@@ -131,10 +180,30 @@ def _manifest(cfg: Mapping[str, Any], exported, specs, *,
         "seed": int(cfg.get("seed", 0)),
         "compute_dtype": str(cfg.get("precision", {}).get(
             "compute_dtype", "bfloat16")),
+        # Scene storage dtype: gathered windows differ in low bits
+        # between f32 and bf16 scenes, so serving must rebuild the
+        # scene exactly as training stored it (ADVICE r4).
+        "scene_dtype": str(cfg.get("precision", {}).get(
+            "scene_dtype", "float32")),
         "platforms": list(exported.platforms),
         "input_shapes": [list(map(str, s.shape)) for s in specs],
         "jax_version": jax.__version__,
     }
+
+
+def _dense_manifest_extras(cfg: Mapping[str, Any]) -> dict[str, Any]:
+    """Dense artifacts classify one fixed scene geometry; stamp it plus
+    the streaming band count baked into the exported program."""
+    from dmfusion.train.steps import (resolve_dense_streams,
+                                      resolve_dense_streams_infer)
+    h, w, c = cfg["DATA_DICT"][cfg["data_city"]]["size"]
+    ps = int(cfg["patch_size"])
+    n_train = resolve_dense_streams(cfg.get("dense_streams", "auto"),
+                                    h + ps - 1, w + ps - 1)
+    bands = resolve_dense_streams_infer(
+        cfg.get("dense_streams_infer", "auto"), n_train)
+    return {"scene_shape": [int(h), int(w), int(c)],
+            "dense_bands": int(bands)}
 
 
 def save_artifact(path: str | os.PathLike, cfg: Mapping[str, Any],
@@ -146,6 +215,9 @@ def save_artifact(path: str | os.PathLike, cfg: Mapping[str, Any],
     exported, specs = export_program(cfg, params, batch=batch,
                                      platforms=platforms)
     manifest = _manifest(cfg, exported, specs, batch=batch)
+    if manifest["arity"] == "dense":
+        manifest.update(_dense_manifest_extras(cfg))
+        manifest["batch"] = "scene"
     params_payload = {
         "__meta__": {"format": ARTIFACT_FORMAT,
                      "model_name": manifest["model_name"],
@@ -193,11 +265,35 @@ class LoadedClassifier:
 
     def predict(self, *inputs):
         import jax.numpy as jnp
+        if self.manifest["arity"] == "dense":
+            raise ValueError(
+                "dense artifacts classify whole scenes — call "
+                "class_map(ms, pan) with the padded scene tensors")
         logits = self.logits(*inputs)
         if self.manifest["arity"] == "quad":
             b = inputs[0].shape[0] // 4
             logits = logits[:b] + logits[b:2 * b]
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def class_map(self, ms, pan):
+        """Dense artifacts only: one call -> the (H, W) int32 class map
+        for the whole scene (every pixel classified; the reference
+        color() product, solver/mainsolver.py:155-201)."""
+        if self.manifest["arity"] != "dense":
+            raise ValueError(
+                f"class_map is the dense serving surface; this artifact "
+                f"is arity {self.manifest['arity']!r} — use predict()")
+        return self._exported.call(self.params, ms, pan)
+
+
+def read_manifest(path: str | os.PathLike) -> dict[str, Any]:
+    """Read only the manifest from a ``.dmx`` — no jax, no program
+    deserialization.  Lets consumers resolve config/platform choices
+    BEFORE anything can initialize a backend (ADVICE r4: `dmfusion-infer`
+    used to deserialize the program first, so ``--set device=cpu`` could
+    be applied too late)."""
+    with zipfile.ZipFile(path) as zf:
+        return json.loads(zf.read("manifest.json"))
 
 
 def load_artifact(path: str | os.PathLike) -> LoadedClassifier:
@@ -266,8 +362,16 @@ def main(argv: list[str] | None = None) -> None:
     from dmfusion.models.registry import model_arity
     model = build_model(cfg)
     arity = model_arity(cfg["model_name"])
-    init_inputs = [jnp.zeros(s.shape, s.dtype) for s in
-                   _resolve_specs(arity, int(cfg["patch_size"]), batch=1)]
+    ps = int(cfg["patch_size"])
+    if arity == "dense":
+        # Conv/head params are scene-size independent (DensePrograms.
+        # init): a tiny dummy scene keeps init instant even for a
+        # 50M-px city artifact.
+        init_inputs = [jnp.zeros((2 * ps, 2 * ps, 4), jnp.float32),
+                       jnp.zeros((8 * ps, 8 * ps, 1), jnp.float32), ps]
+    else:
+        init_inputs = [jnp.zeros(s.shape, s.dtype) for s in
+                       _resolve_specs(arity, ps, batch=1)]
     params = model.init(jax.random.PRNGKey(int(cfg.get("seed", 0))),
                         *init_inputs)["params"]
     if args.weights is not None:

@@ -27,7 +27,7 @@ from typing import Any
 
 import numpy as np
 
-_SUPPORTED_ARITIES = ("dual", "single", "tri", "quad")
+_SUPPORTED_ARITIES = ("dual", "single", "tri", "quad", "dense")
 
 
 class ScenePredictor:
@@ -40,7 +40,13 @@ class ScenePredictor:
     """
 
     def __init__(self, clf, scene, *, bucket: int = 4096,
-                 seed: int = 0, gan_dir: str | None = None):
+                 seed: int | None = None, gan_dir: str | None = None):
+        # Default to the seed stamped at export time: tri-arity rebuilds
+        # the IHS MSPAN stream with seed-keyed unpooling randomness, so a
+        # mismatched seed silently degrades predictions (ADVICE r4 — the
+        # CLI already defaulted from the manifest; the API now does too).
+        if seed is None:
+            seed = int(clf.manifest.get("seed", 0) or 0)
         arity = clf.manifest["arity"]
         if arity not in _SUPPORTED_ARITIES:
             raise ValueError(
@@ -57,6 +63,15 @@ class ScenePredictor:
             raise ValueError(
                 f"scene was padded for patch_size={scene.patch} but the "
                 f"artifact expects {clf.manifest['patch_size']}")
+        if arity == "dense":
+            # The dense program is compiled for ONE scene geometry.
+            want = clf.manifest.get("scene_shape")
+            have = [scene.height, scene.width, int(scene.ms.shape[-1])]
+            if want is not None and list(map(int, want)) != have:
+                raise ValueError(
+                    f"dense artifact was exported for scene geometry "
+                    f"{want} but this scene is {have} — wrong city?")
+        self._dense_map_cache: np.ndarray | None = None
         self.clf = clf
         self.scene = scene
         self.arity = arity
@@ -73,7 +88,7 @@ class ScenePredictor:
         import jax.numpy as jnp
 
         s = self.scene
-        if self.arity == "dual":
+        if self.arity in ("dual", "dense"):
             return (s.ms, s.pan)
         if self.arity == "single":
             return (s.ms,)
@@ -165,12 +180,29 @@ class ScenePredictor:
             out = (jnp.concatenate(out, axis=0),)
         return tuple(x.astype(jnp.float32) for x in out)
 
+    def _dense_map(self) -> np.ndarray:
+        """Dense artifacts: the whole-scene (H, W) class map from ONE
+        program call (the flagship serving product — streamed in row
+        bands inside the exported program for city-scale scenes).
+        Computed once and cached; every anchor query indexes it."""
+        if self._dense_map_cache is None:
+            import jax.numpy as jnp
+            dt = jnp.dtype(str(self.clf.manifest.get("scene_dtype",
+                                                     "float32")))
+            ms, pan = self._scene_args
+            out = self.clf.class_map(ms.astype(dt), pan.astype(dt))
+            self._dense_map_cache = np.asarray(
+                out)[:self.scene.height, :self.scene.width]
+        return self._dense_map_cache
+
     def predict_ids(self, ids: np.ndarray) -> np.ndarray:
         """Flat anchor ids -> predicted class id per anchor (class ids
         are raw label values: palette row indices, 0 = background)."""
         import jax.numpy as jnp
 
         ids = np.asarray(ids, np.int32)
+        if self.arity == "dense":
+            return np.asarray(self._dense_map(), np.int32).reshape(-1)[ids]
         n = ids.shape[0]
         out = np.empty((n,), np.int32)
         b = self.bucket
@@ -241,21 +273,31 @@ def main(argv: list[str] | None = None) -> None:
     args = ap.parse_args(argv)
 
     from dmfusion.cli import _nest, _parse_value
-    from dmfusion.export import load_artifact
+    from dmfusion.export import load_artifact, read_manifest
 
-    clf = load_artifact(args.artifact)
+    # Resolve config + platform from the manifest ALONE, before the
+    # program is deserialized: deserialization (or any import on the
+    # way) may initialize the default backend, after which a cpu switch
+    # is too late and inference silently dispatches to the TPU
+    # (ADVICE r4; export.py's main applies the same ordering).
+    manifest = read_manifest(args.artifact)
     overrides: dict[str, Any] = {}
     for item in args.set:
         key, _, value = item.partition("=")
         overrides[key] = _parse_value(value)
     overrides = _nest(overrides)
-    overrides["data_city"] = args.city or clf.manifest["data_city"]
-    overrides["patch_size"] = int(clf.manifest["patch_size"])
+    overrides["data_city"] = args.city or manifest["data_city"]
+    overrides["patch_size"] = int(manifest["patch_size"])
     # Default to the training seed stamped at export time — synthetic
     # scenes are seed-derived, so a mismatched seed silently evaluates
     # against a DIFFERENT scene (caught during verify: OA 0.26 vs 0.39).
-    if "seed" not in overrides and clf.manifest.get("seed") is not None:
-        overrides["seed"] = int(clf.manifest["seed"])
+    if "seed" not in overrides and manifest.get("seed") is not None:
+        overrides["seed"] = int(manifest["seed"])
+    # And to the stamped scene storage dtype: bf16-scene runs gather
+    # windows whose low bits differ from an f32 scene's (ADVICE r4).
+    if manifest.get("scene_dtype"):
+        overrides.setdefault("precision", {}).setdefault(
+            "scene_dtype", manifest["scene_dtype"])
 
     import jax
 
@@ -265,7 +307,13 @@ def main(argv: list[str] | None = None) -> None:
         try:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
-            pass
+            import warnings
+            warnings.warn(
+                "--set device=cpu was requested but a jax backend is "
+                "already initialized; inference will run on "
+                f"{jax.default_backend()}", stacklevel=1)
+
+    clf = load_artifact(args.artifact)
     import jax.numpy as jnp
 
     from dmfusion.data.scene import load_scene, split_labels

@@ -196,7 +196,8 @@ def dense_infer_band_probe(cfg: Mapping[str, Any], scene,
     gradient intermediates, so image9-class scenes need 8 bands there
     (14.35 GiB AOT peak).  The inference map's per-band live set is far
     smaller, and fewer/wider bands cut halo recompute and scan overhead
-    (measured: 8 bands 700 ms vs 16 bands 991 ms at image9 — the trend
+    (measured: 8 bands 963 ms vs 16 bands 991 ms at image9, 4 bands
+    906 ms — the trend
     continues downward).  AOT census at image9 w32 (tools/
     stream_map_aot.py): 2 bands OOM (18.7 GiB), 3 bands 14.66 GiB
     (>92% of HBM — rejected for margin), 4 bands 13.26 GiB -> picked.

@@ -340,9 +340,11 @@ def resolve_dense_streams(value, ms_rows: int, ms_cols: int) -> int:
     intermediate tile-pads ~16x to ~26 GB (BENCH_NOTES.md "image9
     single-chip" — an XLA layout pathology, not live-tensor size).  The
     ~6.5M px/band divisor gives image9/image10 8 bands — measured on
-    the chip: 700 ms/map (72.0M px/s, compact 2-D pre-cast scenes) vs
-    991 ms at 16 bands, both inside HBM with the f32 scene resident.
-    Explicit
+    the chip: 963 ms/map (52.3M px/s, compact 2-D pre-cast scenes) vs
+    991 ms at 16 bands, both inside HBM with the f32 scene resident;
+    the INFERENCE band autotune (``dense_streams_infer``) picks 4 bands
+    there, measured 906 ms (BENCH_NOTES.md measurement-integrity note —
+    the earlier 700 ms reading did not reproduce).  Explicit
     integers force a band count; 'off'/0/1 force the whole-scene pass.
     """
     v = str(value).strip().lower() if value is not None else "auto"
@@ -362,6 +364,26 @@ def resolve_dense_streams(value, ms_rows: int, ms_cols: int) -> int:
         raise ValueError(
             f"dense_streams: unrecognized value {value!r} (use "
             "off/auto/on or an integer band count)") from None
+    return n if n > 1 else 0
+
+
+def resolve_dense_streams_infer(value, n_train: int) -> int:
+    """Resolve the ``dense_streams_infer`` knob given the resolved
+    TRAINING band count ``n_train`` (see
+    :meth:`DensePrograms._stream_bands_infer` for the rationale)."""
+    if not n_train:
+        return 0
+    v = str(value if value is not None else "auto").strip().lower()
+    if v in ("auto", "", "train", "same"):
+        return n_train
+    if v in ("off", "false", "no"):
+        return 0
+    try:
+        n = int(v)
+    except ValueError:
+        raise ValueError(
+            f"dense_streams_infer: unrecognized value {v!r} (use "
+            "auto/off or an integer band count)") from None
     return n if n > 1 else 0
 
 
@@ -797,21 +819,9 @@ class DensePrograms(DualPrograms):
         solver-resolved value (solvers/main.py runs the AOT band probe
         and writes the winner here); directly-constructed programs
         (tools, tests) default to the training count."""
-        n_train = self._stream_bands(ms_rows, ms_cols)
-        if not n_train:
-            return 0
-        v = str(self.cfg.get("dense_streams_infer", "auto")).strip().lower()
-        if v in ("auto", "", "train", "same"):
-            return n_train
-        if v in ("off", "false", "no"):
-            return 0
-        try:
-            n = int(v)
-        except ValueError:
-            raise ValueError(
-                f"dense_streams_infer: unrecognized value {v!r} (use "
-                "auto/off or an integer band count)") from None
-        return n if n > 1 else 0
+        return resolve_dense_streams_infer(
+            self.cfg.get("dense_streams_infer", "auto"),
+            self._stream_bands(ms_rows, ms_cols))
 
     def _train_epoch_full(self, params, opt_state, scene_args, ids,
                           labels, mask):

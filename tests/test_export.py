@@ -115,10 +115,71 @@ def test_format_version_is_enforced(tmp_path):
         load_artifact(bad)
 
 
-def test_dense_arity_is_rejected():
-    cfg = _cfg("dense_fusion")
-    with pytest.raises(ValueError, match="arity"):
-        save_artifact("/dev/null", cfg, {})
+def _dense_cfg(**over):
+    # f32 compute: the exported and in-process programs then share exact
+    # arithmetic, so class maps compare bit-for-bit (bf16 recompiles can
+    # flip argmax near-ties).
+    return load_config(overrides={
+        "data_city": "synth64", "patch_size": 8, "model_width": 16,
+        "model_name": "dense_fusion", "seed": 0,
+        "precision": {"compute_dtype": "float32"}, **over})
+
+
+def _dense_prog(cfg):
+    from dmfusion.train.optim import make_optimizer
+    from dmfusion.train.steps import DensePrograms
+    _, w, _ = cfg["DATA_DICT"][cfg["data_city"]]["size"]
+    model = build_model(cfg)
+    prog = DensePrograms(model, make_optimizer(cfg, 1), cfg, int(w),
+                         int(cfg["patch_size"]), None)
+    params, _ = prog.init(jax.random.PRNGKey(0))
+    return prog, params
+
+
+def test_dense_round_trip_whole_scene(tmp_path):
+    """Flagship serving (VERDICT r4 weak #1): a dense artifact's one
+    class_map call equals the in-process predict_map bit-for-bit."""
+    from dmfusion.data.scene import synthetic_scene
+    cfg = _dense_cfg()
+    prog, params = _dense_prog(cfg)
+    scene = synthetic_scene(cfg)
+    path = tmp_path / "d.dmx"
+    manifest = save_artifact(path, cfg, params)
+    assert manifest["arity"] == "dense"
+    assert manifest["batch"] == "scene"
+    assert manifest["scene_shape"] == [64, 72, 4]
+    assert manifest["dense_bands"] == 0
+    assert manifest["scene_dtype"] == "float32"
+
+    clf = load_artifact(path)
+    got = np.asarray(clf.class_map(scene.ms, scene.pan))
+    want = np.asarray(prog.predict_map_jitted()(params,
+                                                (scene.ms, scene.pan)))
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="class_map"):
+        clf.predict(scene.ms, scene.pan)
+
+
+def test_dense_streamed_export_bakes_band_scan(tmp_path):
+    """City-scale dense artifacts carry the streamed band scan inside
+    the exported program (fixed band count stamped in the manifest)."""
+    from dmfusion.data.scene import synthetic_scene
+    color = load_config()["DATA_DICT"]["synth64"]["color"]
+    cfg = _dense_cfg(
+        data_city="synthband",
+        DATA_DICT={"synthband": {"size": [160, 96, 4], "color": color}},
+        dense_streams=2)
+    prog, params = _dense_prog(cfg)
+    assert prog._band_plan(160 + 7, 2) is not None, "fixture too small"
+    scene = synthetic_scene(cfg)
+    path = tmp_path / "d2.dmx"
+    manifest = save_artifact(path, cfg, params)
+    assert manifest["dense_bands"] == 2
+    clf = load_artifact(path)
+    got = np.asarray(clf.class_map(scene.ms, scene.pan))
+    want = np.asarray(prog.predict_map_jitted()(params,
+                                                (scene.ms, scene.pan)))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_cli_export(tmp_path, capsys):

@@ -36,7 +36,10 @@ timeout 4000 dmfusion --city "$CITY" --model "$MODEL" --set \
   > "$OUT/train.log" 2>&1
 echo "train exit $? $(date +%T)"
 
-W=$(ls "$OUT/${CITY}_${MODEL}/"*/"${MODEL}"__*_output/*_weights.msgpack 2>/dev/null | head -1)
+# Newest first: a reused $OUT can hold older runs' slots, and the
+# lexicographically-first match would silently export STALE weights
+# while the log presents them as the just-trained ones (ADVICE r4).
+W=$(ls -t "$OUT/${CITY}_${MODEL}/"*/"${MODEL}"__*_output/*_weights.msgpack 2>/dev/null | head -1)
 [ -n "$W" ] || { echo "=== no weights produced; see $OUT/train.log ==="; exit 1; }
 
 echo "=== [2/3] export $(date +%T) ==="
