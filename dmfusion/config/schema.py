@@ -188,6 +188,11 @@ DEFAULTS: dict[str, Any] = {
     # Contourlet band diagnostics (reference proof()/visualize_channels,
     # mainsolver.py:245-431 — never wired into run() there).
     "proof": {"index": 0, "samples": 4},
+    # t-SNE embedding diagnostics (reference inlines these in its test
+    # loop, solver/mainsolver.py:110-136, and the two-stage 4-stream
+    # analysis, tostagesolver.py:416-489): scatter of the classifier
+    # logits, colored by target class (main) / input stream (twostage).
+    "visualize": {"index": 0, "samples": 2000},
     "trans": {
         "patch_size": 1,
         "window_size": 2,

@@ -53,8 +53,11 @@ def channel_grid(tensor: np.ndarray, path: str, num_channels: int = 8,
 
 
 def embedding_scatter(embeddings: np.ndarray, labels: np.ndarray, path: str,
-                      max_points: int = 2000, seed: int = 0) -> None:
-    """2-D projection scatter colored by integer label."""
+                      max_points: int = 2000, seed: int = 0,
+                      names: list[str] | None = None) -> None:
+    """2-D projection scatter colored by integer label; ``names`` maps
+    label value -> legend text (the two-stage 4-stream scatter labels
+    streams M/PAN/GM/GP, reference tostagesolver.py:470-478)."""
     plt = _mpl()
     emb = np.asarray(embeddings)
     lab = np.asarray(labels).astype(int)
@@ -76,7 +79,7 @@ def embedding_scatter(embeddings: np.ndarray, labels: np.ndarray, path: str,
     for i, c in enumerate(classes):
         m = lab == c
         ax.scatter(xy[m, 0], xy[m, 1], s=6, color=cmap(i), alpha=0.6,
-                   label=f"class {c}")
+                   label=names[c] if names is not None else f"class {c}")
     ax.legend(fontsize=7, markerscale=2, ncol=2)
     ax.set_xticks([])
     ax.set_yticks([])

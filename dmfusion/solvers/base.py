@@ -205,6 +205,9 @@ class BaseSolver:
     def proof(self):
         raise NotImplementedError
 
+    def visualize(self):
+        raise NotImplementedError
+
     def run(self):
         """Repeat loop (reference mainsolver.py:203-209)."""
         while self.time < self.TIME:
@@ -217,6 +220,8 @@ class BaseSolver:
                 self.color()
             if self.cfg.get("proof", {}).get("index"):
                 self.proof()
+            if self.cfg.get("visualize", {}).get("index"):
+                self.visualize()
             self.time += 1
 
     def save_records(self) -> None:

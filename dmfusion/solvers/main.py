@@ -802,6 +802,62 @@ class Solver(BaseSolver):
                          num_channels=min(16, sub.shape[-1]),
                          title=f"{tag} dfb")
 
+    def visualize(self) -> None:
+        """t-SNE scatter of test-set classifier logits colored by target
+        class — the diagnostic the reference inlines in its test loop
+        (solver/mainsolver.py:110-136, saved as ``{time}pan.jpg``).  The
+        reference re-fits and OVERWRITES the figure per test batch; here
+        ONE scatter over a ``visualize.samples`` subsample of the test
+        split is rendered per repeat (``{time}_tsne_test.png``)."""
+        cfg = self.cfg
+        params = self._load_eval_params()
+        ids = np.asarray(self.split.test, np.int32)
+        n = int(cfg.get("visualize", {}).get("samples", 2000))
+        if ids.shape[0] > n:
+            rng = np.random.default_rng(int(cfg["seed"]))
+            ids = np.sort(rng.choice(ids, n, replace=False))
+        ids = self._trim_to_mesh(ids)
+        labels = self.scene.label.reshape(-1)[ids].astype(np.int32)
+        logits = self._anchor_logits(params, ids)
+        os.makedirs(cfg["RESULT_output"], exist_ok=True)
+        path = os.path.join(cfg["RESULT_output"],
+                            f"{self.time}_tsne_test.png")
+        from dmfusion.report.viz import embedding_scatter
+        embedding_scatter(np.asarray(logits, np.float32), labels, path,
+                          seed=int(cfg["seed"]))
+
+    def _trim_to_mesh(self, ids: np.ndarray) -> np.ndarray:
+        """Trim a diagnostic id set to a mesh-'data'-multiple: sharded
+        gathers split the batch axis across devices, so the count must
+        divide evenly (dropping <data_size samples off a scatter plot
+        beats pad+mask plumbing)."""
+        mesh = getattr(self.programs, "mesh", None)
+        if mesh is None:
+            return ids
+        r = int(mesh.shape.get("data", 1))
+        keep = (ids.shape[0] // r) * r
+        return ids[:max(keep, 0)]
+
+    def _anchor_logits(self, params, ids: np.ndarray):
+        """Per-anchor logits for a small diagnostic id set: window
+        gather + forward for patchwise arities, anchor-pooled SAT
+        features + head for the dense family (no whole-scene logits map
+        is materialized)."""
+        from dmfusion.train.steps import DensePrograms
+        prog = self.programs
+        ids_b = jnp.asarray(ids, jnp.int32)
+        if isinstance(prog, DensePrograms):
+            pooled = prog._anchor_pooled_fn(self.scene_args[0].shape[0],
+                                            self.scene_args[0].shape[1])
+
+            def f(p, s0, s1, i):
+                return prog._head(p, pooled(p, s0, s1, i))
+
+            return jax.jit(f)(params, self.scene_args[0],
+                              self.scene_args[1], ids_b)
+        inputs = prog._gather(self.scene_args, ids_b)
+        return jax.jit(prog.apply)(params, *inputs)
+
     def color(self) -> None:
         """Full-scene classification maps: map1 = supervised (labeled
         pixels only), map2 = all pixels (reference mainsolver.py:155-201).

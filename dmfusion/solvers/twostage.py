@@ -415,6 +415,32 @@ class TwoStageSolver(Solver):
             expo_stream_results(results, self.cfg, self.time)
             self.stream_results = results
 
+    def visualize(self) -> None:
+        """4-stream embedding scatter (reference ``visualize_extract``/
+        ``visualize_deal``, tostagesolver.py:416-489): logits of a
+        sampled anchor set forwarded through all four DQTL streams,
+        colored by STREAM (M/PAN/GM/GP) — the diagnostic showing whether
+        the KL quadruplet loss pulled the modality embeddings together."""
+        cfg = self.cfg
+        params = self._load_eval_params()
+        ids = np.asarray(self.split.train, np.int32)
+        n = max(1, int(cfg.get("visualize", {}).get("samples", 2000)) // 4)
+        if ids.shape[0] > n:
+            rng = np.random.default_rng(int(cfg["seed"]))
+            ids = np.sort(rng.choice(ids, n, replace=False))
+        ids = self._trim_to_mesh(ids)
+        inputs = self.programs._gather(self.scene_args,
+                                       jnp.asarray(ids, jnp.int32))
+        logits = jax.jit(self.programs.apply)(params, *inputs)  # (4B, C)
+        stream = np.repeat(np.arange(4), ids.shape[0])
+        os.makedirs(cfg["RESULT_output"], exist_ok=True)
+        path = os.path.join(cfg["RESULT_output"],
+                            f"{self.time}_tsne_streams.png")
+        from dmfusion.report.viz import embedding_scatter
+        embedding_scatter(np.asarray(logits, np.float32), stream, path,
+                          seed=int(cfg["seed"]),
+                          names=["M", "PAN", "GM", "GP"])
+
     def run(self) -> None:
         """Stage-2 setup once, then the standard repeat loop
         (tostagesolver.py:407-414)."""

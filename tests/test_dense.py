@@ -583,6 +583,14 @@ def test_solver_test_routes_streamed_dense_through_map(tmp_path,
     assert calls["n"] == 1
     assert s.test_matrix.sum() == len(s.split.test)
 
+    # visualize() on the dense family goes through the anchor-pooled
+    # SAT features + head (never a whole-scene logits map) and renders
+    # the t-SNE scatter (reference mainsolver.py:110-136).
+    import os
+    s.visualize()
+    png = os.path.join(cfg["RESULT_output"], "0_tsne_test.png")
+    assert os.path.exists(png) and os.path.getsize(png) > 0
+
 
 def test_dense_test_confusion_matches_eval_epoch():
     """The map-based test confusion (ONE class-map render + indexed

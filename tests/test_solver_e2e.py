@@ -181,6 +181,15 @@ def test_best_weights_reload_consistency(finished_solver):
     np.testing.assert_array_equal(m1, finished_solver.test_matrix)
 
 
+def test_visualize_phase_writes_tsne_scatter(finished_solver, run_cfg):
+    """visualize.index renders the test-embedding t-SNE scatter
+    (reference mainsolver.py:110-136) into the run dir."""
+    finished_solver.time = 0  # rewind repeat counter for path resolution
+    finished_solver.visualize()
+    path = os.path.join(run_cfg["RESULT_output"], "0_tsne_test.png")
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
 def test_early_stop_halts_on_first_regression(tmp_path, monkeypatch):
     """train.early_stop (dmfusion extension) halts training at the
     FIRST val regression, after saving that epoch's current checkpoint

@@ -86,6 +86,16 @@ def test_stage1_visual_artifacts(solver, ts_cfg):
     assert img.shape[:2] == (h, w)
 
 
+def test_visualize_phase_writes_stream_scatter(solver, ts_cfg):
+    """visualize.index renders the 4-stream embedding scatter
+    (reference visualize_extract/deal, tostagesolver.py:416-489)."""
+    solver.time = 0  # rewind repeat counter for path resolution
+    solver.visualize()
+    path = os.path.join(ts_cfg["RESULT_output"], "0_tsne_streams.png")
+    assert os.path.exists(path) and os.path.getsize(path) > 0
+    solver.time = 1
+
+
 def test_per_stream_eval(solver, ts_cfg):
     """Each DQTL stream scored independently (reference indicator_SCLN
     capability, indicators/kappa.py:211-213): 4 confusion matrices, each
