@@ -254,6 +254,11 @@ DEFAULTS: dict[str, Any] = {
     # scheduling barriers), at the cost of ~unroll x one band's live
     # intermediates.  1 = fully sequential (the memory-bound default).
     "dense_stream_unroll": 1,
+    # Band count for the shift-and-stitch convolutional map route of
+    # MAP_PROGRAMS models (gmfnet_conv).  "auto" = whole-scene pass for
+    # image6-class scenes and below, ~6.5M anchors per band beyond;
+    # 0/off forces the whole-scene pass; an integer forces that count.
+    "conv_streams": "auto",
     # Max anchors per eval/predict DEVICE CALL for the per-anchor
     # program families (dual/one/tri/quad).  City-scale test sets
     # (~35M anchors at image9) as ONE multi-minute device execution

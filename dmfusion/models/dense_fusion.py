@@ -66,9 +66,17 @@ class WSConv(nn.Module):
     act_gain: float = 1.0   # folds the nonlinearity's variance correction
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    stride: int = 1
+    padding: str = "SAME"   # "VALID" for crop-consistent window semantics
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, stride: int | None = None
+                 ) -> jnp.ndarray:
+        """``stride`` overrides the module default at call time — the
+        parameters are stride-independent, which is what lets a
+        shift-and-stitch scene route run a window model's stride-2 convs
+        at stride 1 with the SAME weights (models/gmfnet_conv.py)."""
+        st = self.stride if stride is None else stride
         kh = kw = self.kernel
         cin = x.shape[-1]
         w = self.param("kernel", nn.initializers.he_normal(),
@@ -83,8 +91,8 @@ class WSConv(nn.Module):
         wn = (w - mu) * jax.lax.rsqrt(var * fan_in + 1e-8)
         wn = wn * (gain * self.act_gain)
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), wn.astype(self.dtype), (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            x.astype(self.dtype), wn.astype(self.dtype), (st, st),
+            self.padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=self.dtype)
         return y + bias.astype(self.dtype)
 

@@ -83,9 +83,23 @@ def model_arity(name: str) -> str:
         return "dual"
 
 
+def model_map_programs(name: str) -> str | None:
+    """Optional map-route programs family a model module declares
+    (``MAP_PROGRAMS``): "convmap" -> train/steps.py::ConvMapPrograms
+    renders full-scene maps convolutionally (models/gmfnet_conv.py)."""
+    key = name.lower()
+    module_name = _ALIASES.get(key, key)
+    try:
+        mod = importlib.import_module(f"dmfusion.models.{module_name}")
+        return getattr(mod, "MAP_PROGRAMS", None)
+    except ImportError:
+        return None
+
+
 def available_models() -> list[str]:
     return sorted(set(list(_EXPLICIT) + [
-        "gmfnet", "resnet18", "cross_net", "vision_transformer",
-        "swin_transformer", "swin_t_dual", "ct_lstm", "dqtl", "tri_net",
-        "dense_fusion", "generator", "discriminator",
+        "gmfnet", "gmfnet_conv", "resnet18", "cross_net",
+        "vision_transformer", "swin_transformer", "swin_t_dual",
+        "ct_lstm", "dqtl", "tri_net", "dense_fusion", "generator",
+        "discriminator",
     ]))

@@ -333,7 +333,11 @@ class Solver(BaseSolver):
         raise ValueError(f"unsupported model arity {arity!r} for MainSolver")
 
     def _programs_cls(self, arity: str):
-        from dmfusion.train.steps import DensePrograms
+        from dmfusion.train.steps import ConvMapPrograms, DensePrograms
+        if arity == "dual":
+            from dmfusion.models.registry import model_map_programs
+            if model_map_programs(self.cfg["model_name"]) == "convmap":
+                return ConvMapPrograms
         return {"dual": DualPrograms, "tri": TriPrograms,
                 "single": SinglePrograms, "dense": DensePrograms}[arity]
 
@@ -873,8 +877,7 @@ class Solver(BaseSolver):
         h, w = self.scene.height, self.scene.width
         label_np1 = np.zeros((h, w), np.int32)
         label_np2 = np.zeros((h, w), np.int32)
-        from dmfusion.train.steps import DensePrograms
-        if isinstance(self.programs, DensePrograms):
+        if self.programs.supports_map:
             pred = np.asarray(self.programs.predict_map_jitted()(
                 params, self.scene_args))
             if cfg["color"]["supervised"]:

@@ -261,10 +261,53 @@ class DualPrograms:
 
     def test_confusion(self, params, scene_args, ids, labels, mask):
         """Confusion matrix for the test phase (loss discarded).
-        DensePrograms overrides this with the one-map-render route for
-        streamed city-scale runs; every other program class evaluates
-        per anchor."""
+        DensePrograms/ConvMapPrograms override this with the
+        one-map-render route for city-scale runs; every other program
+        class evaluates per anchor."""
         return self.eval_epoch(params, scene_args, ids, labels, mask)[1]
+
+    #: True when this program instance can render full-scene class maps
+    #: in one (possibly banded) device pass — the solver's color()/test
+    #: phases take the map route instead of per-anchor batches.
+    supports_map = False
+
+    def predict_map_jitted(self):
+        """Cached jitted predict_map (one compile per program instance);
+        only meaningful on classes that define ``predict_map``."""
+        if not hasattr(self, "_predict_map_jit"):
+            self._predict_map_jit = jax.jit(self.predict_map)
+        return self._predict_map_jit
+
+    def _conf_from_map(self, pred_map, ids, labels, mask):
+        pred = pred_map.reshape(-1)[ids.reshape(-1)]
+        return confusion_matrix(pred, labels.reshape(-1),
+                                self.num_classes, mask.reshape(-1))
+
+    def _compact_compute_scenes(self, ms, pan):
+        """Whole-scene cast to the compute dtype in lane-COMPACT 2-D
+        layouts, done once so band slicing never leaves a convert inside
+        the band loop.
+
+        Why: in the streamed fwd+bwd program XLA hoists the model's
+        per-band bf16 cast above the band slice into ONE whole-scene
+        convert — and the rank-3 (H, W, 4) bf16 temp it creates gets a
+        tile layout that pads the C=4 minor dim to 128 lanes: 12 GB at
+        image9 scale, an instant OOM (measured by the AOT probe,
+        tools/stream_train_memcheck.py; an optimization_barrier around
+        the slices does NOT stop it).  2-D tensors lay out compactly
+        (the same dump showed the hoisted 2-D PAN convert at 1.0x), so
+        we do the profitable hoist OURSELVES: flatten MS to (H, W*C) —
+        a pure bitcast — cast both scenes once, and reshape each band
+        slab back to rank 3 inside the loop.  The cast commutes exactly
+        with pad/reshape/transpose, so numerics are identical to the
+        model's own post-s2d cast.
+        """
+        from dmfusion.models.common import dtypes
+        dt = dtypes(self.cfg)[0]
+        h0, w0, c0 = ms.shape
+        ms2d = ms.reshape(h0, w0 * c0).astype(dt)
+        pan2d = (pan if pan.ndim == 2 else pan[..., 0]).astype(dt)
+        return ms2d, pan2d, (w0, c0)
 
 
 class TriPrograms(DualPrograms):
@@ -688,32 +731,6 @@ class DensePrograms(DualPrograms):
         # inner blocks no longer remat, the worst of both worlds.
         return sharded if remat_off else jax.checkpoint(sharded)
 
-    def _compact_compute_scenes(self, ms, pan):
-        """Whole-scene cast to the compute dtype in lane-COMPACT 2-D
-        layouts, done once so band slicing never leaves a convert inside
-        the band loop.
-
-        Why: in the streamed fwd+bwd program XLA hoists the model's
-        per-band bf16 cast above the band slice into ONE whole-scene
-        convert — and the rank-3 (H, W, 4) bf16 temp it creates gets a
-        tile layout that pads the C=4 minor dim to 128 lanes: 12 GB at
-        image9 scale, an instant OOM (measured by the AOT probe,
-        tools/stream_train_memcheck.py; an optimization_barrier around
-        the slices does NOT stop it).  2-D tensors lay out compactly
-        (the same dump showed the hoisted 2-D PAN convert at 1.0x), so
-        we do the profitable hoist OURSELVES: flatten MS to (H, W*C) —
-        a pure bitcast — cast both scenes once, and reshape each band
-        slab back to rank 3 inside the loop.  The cast commutes exactly
-        with pad/reshape/transpose, so numerics are identical to the
-        model's own post-s2d cast.
-        """
-        from dmfusion.models.common import dtypes
-        dt = dtypes(self.cfg)[0]
-        h0, w0, c0 = ms.shape
-        ms2d = ms.reshape(h0, w0 * c0).astype(dt)
-        pan2d = (pan if pan.ndim == 2 else pan[..., 0]).astype(dt)
-        return ms2d, pan2d, (w0, c0)
-
     def _anchor_pooled_streamed(self, window_sums, splan):
         """Sequential-band anchor pooling on ONE device: a ``lax.scan``
         over the clamped row bands of ``splan`` (exactly the multi-chip
@@ -1127,16 +1144,7 @@ class DensePrograms(DualPrograms):
                                 scene_args[1], self.patch,
                                 method=self.model.class_map)
 
-    def predict_map_jitted(self):
-        """Cached jitted predict_map (one compile per program instance)."""
-        if not hasattr(self, "_predict_map_jit"):
-            self._predict_map_jit = jax.jit(self.predict_map)
-        return self._predict_map_jit
-
-    def _conf_from_map(self, pred_map, ids, labels, mask):
-        pred = pred_map.reshape(-1)[ids.reshape(-1)]
-        return confusion_matrix(pred, labels.reshape(-1),
-                                self.num_classes, mask.reshape(-1))
+    supports_map = True
 
     def test_confusion(self, params, scene_args, ids, labels, mask):
         """Test-phase confusion matrix; for streamed (city-scale) runs,
@@ -1211,6 +1219,151 @@ class DensePrograms(DualPrograms):
         """(H, W) argmax map from the spatially-sharded dense pass."""
         logits = self.logits_map_sharded(params, scene_args, mesh)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def resolve_conv_streams(value, ms_rows: int, ms_cols: int,
+                         patch: int) -> int:
+    """Band count for the shift-and-stitch map route (``conv_streams``
+    knob: 'auto'/'off'/int).  'auto' streams scenes whose whole-scene
+    phase-map intermediates would crowd HBM: the route's biggest live
+    tensors are the full-res w-channel fused map and the batch-4
+    half-res 2w maps (~6 bytes/px/width-unit in bf16), so ~6.5M anchor
+    px per band keeps a w=64 band comfortably under a v5e's 16 GB
+    alongside the scenes themselves."""
+    v = str(value).strip().lower() if value is not None else "auto"
+    if v in ("off", "0", "false", "no", "none"):
+        return 0
+    cells = (ms_rows - patch + 1) * (ms_cols - patch + 1)
+    if v in ("auto", ""):
+        per_band = 6_500_000
+        return 0 if cells <= per_band else -(-cells // per_band)
+    try:
+        return int(v)
+    except ValueError:
+        raise ValueError(f"conv_streams: unrecognized value {value!r} "
+                         "(use auto/off or a band count)") from None
+
+
+class ConvMapPrograms(DualPrograms):
+    """DualPrograms plus the shift-and-stitch full-scene map route for
+    models that declare ``MAP_PROGRAMS = "convmap"`` (gmfnet_conv).
+
+    Training and per-anchor eval are the ordinary window machinery —
+    the window route IS the model definition.  Full-scene rendering
+    (color) and city-scale test confusions instead call the model's
+    convolutional ``class_map`` (models/gmfnet_conv.py), whose per-anchor
+    outputs are exact crops of the window route — so the map is not an
+    approximation of color(), it is color() without per-anchor work
+    (reference workload: solver/mainsolver.py:155-201).
+
+    City-scale scenes stream the map in sequential clamped row bands
+    like the dense family (band starts aligned to the stride-4 phase
+    grid so every band computes the same global phases)."""
+
+    @property
+    def supports_map(self) -> bool:
+        # The banded shard_map variant of this route is not built yet;
+        # mesh runs keep the per-anchor path (still exact, just slower).
+        return self.mesh is None
+
+    # -- band geometry -----------------------------------------------------
+    def _cm_band_plan(self, ms_rows: int, n: int):
+        """(h, n, band, need) for ``n`` sequential row bands, or None
+        when the scene is too small.  ``need`` carries patch-1 window
+        rows plus 7 slack rows: up to 3 for clamping the band start onto
+        the stride-4 phase grid plus headroom for the bottom-clamped
+        band (the model's own EDGE_SLACK zero-pad is internal and only
+        feeds entries beyond every kept anchor's reads)."""
+        ps = self.patch
+        h = ms_rows - ps + 1
+        if n < 2:
+            return None
+        band = -(-h // n)
+        need = band + ps + 7
+        # The bottom-clamped band's slab start is ms_rows - need, which
+        # must itself sit on the stride-4 phase grid: flooring it would
+        # push the slab up and truncate the last anchors' windows
+        # (caught by tests/test_gmfnet_conv.py at n=3 band geometry).
+        need += (ms_rows - need) % 4
+        if need > ms_rows or band > h:
+            return None
+        return h, n, band, need
+
+    def _cm_band_slices(self, plan, i, ms_rows):
+        h, n, band, need = plan
+        out_start = jnp.minimum(i * band, h - band)
+        s0 = jnp.clip(out_start, 0, ms_rows - need)
+        s0 = (s0 // 4) * 4   # keep the global stride-4 phase grid
+        return s0, out_start - s0
+
+    def class_map_streamed(self, params, scene_args, n_bands: int):
+        """(H, W) int32 argmax map via sequential clamped row bands on
+        one device; each band's rows are bit-identical to the
+        whole-scene pass (WSConv features are input-independent and the
+        pooled sums share one association — no SAT crosses bands
+        here)."""
+        ms, pan = scene_args[0], scene_args[1]
+        plan = self._cm_band_plan(ms.shape[0], n_bands)
+        if plan is None:
+            return self._whole_class_map(params, scene_args)
+        h, n, band, need = plan
+        ms2d, pan2d, (w0, c0) = self._compact_compute_scenes(ms, pan)
+
+        def body(_, i):
+            s0, offset = self._cm_band_slices(plan, i, ms.shape[0])
+            band_ms = jax.lax.dynamic_slice_in_dim(
+                ms2d, s0, need, 0).reshape(need, w0, c0)
+            band_pan = jax.lax.dynamic_slice_in_dim(pan2d, 4 * s0,
+                                                    4 * need, 0)
+            out = self.model.apply({"params": params}, band_ms, band_pan,
+                                   self.patch, method=self.model.class_map)
+            return None, jax.lax.dynamic_slice_in_dim(out, offset, band, 0)
+
+        u = max(1, int(self.cfg.get("dense_stream_unroll", 1)))
+        _, stacked = jax.lax.scan(body, None,
+                                  jnp.arange(n, dtype=jnp.int32),
+                                  unroll=min(u, n))
+        pieces, prev_end = [], 0
+        for i in range(n):
+            s = min(i * band, h - band)
+            e = s + band
+            if e > prev_end:
+                pieces.append(stacked[i, prev_end - s:])
+                prev_end = e
+        return jnp.concatenate(pieces, axis=0)
+
+    def _whole_class_map(self, params, scene_args):
+        return self.model.apply({"params": params}, scene_args[0],
+                                scene_args[1], self.patch,
+                                method=self.model.class_map)
+
+    def _conv_streams(self, scene_args) -> int:
+        return resolve_conv_streams(self.cfg.get("conv_streams", "auto"),
+                                    scene_args[0].shape[0],
+                                    scene_args[0].shape[1], self.patch)
+
+    def predict_map(self, params, scene_args):
+        """(H, W) argmax class map — the full-scene color() workload as
+        one convolutional (possibly banded) pass."""
+        n = self._conv_streams(scene_args)
+        if n:
+            return self.class_map_streamed(params, scene_args, n)
+        return self._whole_class_map(params, scene_args)
+
+    def test_confusion(self, params, scene_args, ids, labels, mask):
+        """Map-route test confusion (exact: the class_map's entries ARE
+        the window route's argmaxes).  One (banded) map render + an
+        indexed gather + one segment-sum replaces ~35M window
+        gather+forwards at image9 (same rationale as
+        DensePrograms.test_confusion); mesh runs keep the per-anchor
+        path."""
+        if self.mesh is not None:
+            return super().test_confusion(params, scene_args, ids,
+                                          labels, mask)
+        pred_map = self.predict_map_jitted()(params, scene_args)
+        if not hasattr(self, "_conf_from_map_jit"):
+            self._conf_from_map_jit = jax.jit(self._conf_from_map)
+        return self._conf_from_map_jit(pred_map, ids, labels, mask)
 
 
 class QuadPrograms(DualPrograms):
