@@ -99,12 +99,18 @@ def _resolve_specs(arity: str, patch: int,
 
 def export_program(cfg: Mapping[str, Any], params: Any, *,
                    batch: int | None = None,
-                   platforms: Sequence[str] = ("cpu", "tpu")):
+                   platforms: Sequence[str] = ("cpu", "tpu"),
+                   map_route: bool = False):
     """Export the model's forward pass as a ``jax.export.Exported``.
 
     The program takes ``(params, *inputs)`` — parameters stay call
     arguments (not baked-in constants) so the artifact can be re-armed
     with retrained weights of the same tree without re-exporting.
+
+    ``map_route=True`` exports a MAP_PROGRAMS model's (gmfnet_conv)
+    shift-and-stitch whole-scene class map instead of the per-anchor
+    forward — the dense-style serving unit (one call classifies every
+    pixel) for the patchwise family.
     """
     import jax
     from jax import export as jexport
@@ -112,10 +118,31 @@ def export_program(cfg: Mapping[str, Any], params: Any, *,
     from dmfusion.models import build_model
 
     model = build_model(cfg)
-    from dmfusion.models.registry import model_arity
+    from dmfusion.models.registry import model_arity, model_map_programs
     arity = model_arity(cfg["model_name"])
     param_specs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params)
+
+    if map_route:
+        if model_map_programs(cfg["model_name"]) != "convmap":
+            raise ValueError(
+                f"--map: model {cfg['model_name']!r} has no convolutional "
+                "map route (only MAP_PROGRAMS models, e.g. gmfnet_conv; "
+                "the dense family exports its map by default)")
+        from dmfusion.train.optim import make_optimizer
+        from dmfusion.train.steps import ConvMapPrograms
+        h, w, _ = cfg["DATA_DICT"][cfg["data_city"]]["size"]
+        prog = ConvMapPrograms(model, make_optimizer(cfg, 1), dict(cfg),
+                               int(w), int(cfg["patch_size"]), None)
+        specs = _dense_specs(cfg)
+
+        def forward(params, ms, pan):
+            return prog.predict_map(params, (ms, pan))
+
+        exported = jexport.export(
+            jax.jit(forward), platforms=list(platforms))(param_specs,
+                                                         *specs)
+        return exported, specs
 
     if arity == "dense":
         # The flagship's serving unit is the whole-scene class map
@@ -208,15 +235,26 @@ def _dense_manifest_extras(cfg: Mapping[str, Any]) -> dict[str, Any]:
 
 def save_artifact(path: str | os.PathLike, cfg: Mapping[str, Any],
                   params: Any, *, batch: int | None = None,
-                  platforms: Sequence[str] = ("cpu", "tpu")) -> dict:
+                  platforms: Sequence[str] = ("cpu", "tpu"),
+                  map_route: bool = False) -> dict:
     """Export + package model/params/manifest into one ``.dmx`` zip."""
     from flax import serialization
 
     exported, specs = export_program(cfg, params, batch=batch,
-                                     platforms=platforms)
+                                     platforms=platforms,
+                                     map_route=map_route)
     manifest = _manifest(cfg, exported, specs, batch=batch)
     if manifest["arity"] == "dense":
         manifest.update(_dense_manifest_extras(cfg))
+        manifest["batch"] = "scene"
+    elif map_route:
+        from dmfusion.train.steps import resolve_conv_streams
+        h, w, c = cfg["DATA_DICT"][cfg["data_city"]]["size"]
+        ps = int(cfg["patch_size"])
+        manifest["serving"] = "map"
+        manifest["scene_shape"] = [int(h), int(w), int(c)]
+        manifest["conv_bands"] = int(resolve_conv_streams(
+            cfg.get("conv_streams", "auto"), h + ps - 1, w + ps - 1, ps))
         manifest["batch"] = "scene"
     params_payload = {
         "__meta__": {"format": ARTIFACT_FORMAT,
@@ -260,14 +298,21 @@ class LoadedClassifier:
         self.params = params
         self.manifest = manifest
 
+    @property
+    def is_map(self) -> bool:
+        """True when the exported unit is the whole-scene class map
+        (dense family, or a ``--map`` export of a MAP_PROGRAMS model)."""
+        return (self.manifest["arity"] == "dense"
+                or self.manifest.get("serving") == "map")
+
     def logits(self, *inputs):
         return self._exported.call(self.params, *inputs)
 
     def predict(self, *inputs):
         import jax.numpy as jnp
-        if self.manifest["arity"] == "dense":
+        if self.is_map:
             raise ValueError(
-                "dense artifacts classify whole scenes — call "
+                "map artifacts classify whole scenes — call "
                 "class_map(ms, pan) with the padded scene tensors")
         logits = self.logits(*inputs)
         if self.manifest["arity"] == "quad":
@@ -276,13 +321,14 @@ class LoadedClassifier:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def class_map(self, ms, pan):
-        """Dense artifacts only: one call -> the (H, W) int32 class map
+        """Map artifacts only: one call -> the (H, W) int32 class map
         for the whole scene (every pixel classified; the reference
         color() product, solver/mainsolver.py:155-201)."""
-        if self.manifest["arity"] != "dense":
+        if not self.is_map:
             raise ValueError(
-                f"class_map is the dense serving surface; this artifact "
-                f"is arity {self.manifest['arity']!r} — use predict()")
+                f"class_map is the whole-scene serving surface; this "
+                f"artifact is per-anchor arity "
+                f"{self.manifest['arity']!r} — use predict()")
         return self._exported.call(self.params, ms, pan)
 
 
@@ -328,6 +374,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="export freshly initialized params (smoke tests)")
     ap.add_argument("--batch", type=int, default=None,
                     help="fix the batch dim (default: symbolic)")
+    ap.add_argument("--map", action="store_true", dest="map_route",
+                    help="export the whole-scene conv map route of a "
+                         "MAP_PROGRAMS model (gmfnet_conv) instead of "
+                         "the per-anchor forward")
     ap.add_argument("--platforms", default="cpu,tpu")
     ap.add_argument("--out", required=True)
     args = ap.parse_args(argv)
@@ -383,7 +433,8 @@ def main(argv: list[str] | None = None) -> None:
                     "width": int(cfg.get("model_width", 0) or 0)},
             lenient=bool(cfg.get("train", {}).get("pretrained_lenient")))
     manifest = save_artifact(args.out, cfg, params, batch=args.batch,
-                             platforms=args.platforms.split(","))
+                             platforms=args.platforms.split(","),
+                             map_route=args.map_route)
     print(json.dumps({"out": args.out, **{k: manifest[k] for k in (
         "model_name", "arity", "patch_size", "categories", "platforms")}}))
 

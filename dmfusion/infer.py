@@ -63,8 +63,8 @@ class ScenePredictor:
             raise ValueError(
                 f"scene was padded for patch_size={scene.patch} but the "
                 f"artifact expects {clf.manifest['patch_size']}")
-        if arity == "dense":
-            # The dense program is compiled for ONE scene geometry.
+        if clf.is_map:
+            # Map programs are compiled for ONE scene geometry.
             want = clf.manifest.get("scene_shape")
             have = [scene.height, scene.width, int(scene.ms.shape[-1])]
             if want is not None and list(map(int, want)) != have:
@@ -181,9 +181,10 @@ class ScenePredictor:
         return tuple(x.astype(jnp.float32) for x in out)
 
     def _dense_map(self) -> np.ndarray:
-        """Dense artifacts: the whole-scene (H, W) class map from ONE
-        program call (the flagship serving product — streamed in row
-        bands inside the exported program for city-scale scenes).
+        """Map artifacts (dense family, or a --map export of
+        gmfnet_conv): the whole-scene (H, W) class map from ONE program
+        call (the flagship serving product — streamed in row bands
+        inside the exported program for city-scale scenes).
         Computed once and cached; every anchor query indexes it."""
         if self._dense_map_cache is None:
             import jax.numpy as jnp
@@ -201,7 +202,7 @@ class ScenePredictor:
         import jax.numpy as jnp
 
         ids = np.asarray(ids, np.int32)
-        if self.arity == "dense":
+        if self.clf.is_map:
             return np.asarray(self._dense_map(), np.int32).reshape(-1)[ids]
         n = ids.shape[0]
         out = np.empty((n,), np.int32)

@@ -165,6 +165,47 @@ def test_plain_gmfnet_is_not_shift_invariant():
     assert np.abs(interior_a - interior_b).max() > 1e-4
 
 
+def test_map_export_roundtrip(tmp_path):
+    """--map export of gmfnet_conv: the .dmx artifact's class_map
+    matches the in-process conv route bit-for-bit and serves metrics
+    through ScenePredictor."""
+    import optax
+    from dmfusion.config import load_config
+    from dmfusion.data.scene import synthetic_scene
+    from dmfusion.export import load_artifact, save_artifact
+    from dmfusion.infer import ScenePredictor
+    from dmfusion.models.registry import build_model
+    from dmfusion.train.steps import ConvMapPrograms
+    cfg = load_config(overrides={
+        "data_city": "synth64",
+        "model_name": "gmfnet_conv",
+        "patch_size": 35,
+        "model_width": 8,
+        "seed": 0,
+        "conv_streams": "off",
+        "precision": {"compute_dtype": "float32",
+                      "param_dtype": "float32"},
+    })
+    scene = synthetic_scene(cfg)
+    model = build_model(cfg)
+    prog = ConvMapPrograms(model, optax.sgd(1e-3), cfg, scene.width, 35)
+    params, _ = prog.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "conv.dmx")
+    manifest = save_artifact(path, cfg, params, platforms=("cpu",),
+                             map_route=True)
+    assert manifest["serving"] == "map"
+    clf = load_artifact(path)
+    assert clf.is_map
+    served = np.asarray(clf.class_map(scene.ms, scene.pan))
+    ref = np.asarray(prog.predict_map(params, (scene.ms, scene.pan)))
+    np.testing.assert_array_equal(served, ref)
+    with pytest.raises(ValueError, match="whole scenes"):
+        clf.predict(jnp.zeros((1, 35, 35, 4)))
+    sp = ScenePredictor(clf, scene)
+    res = sp.evaluate()
+    assert 0.0 <= res["oa"] <= 1.0 and res["pixels"] > 0
+
+
 def test_solver_selects_convmap_programs(tmp_path):
     """Solver e2e: gmfnet_conv trains through the ordinary dual-arity
     machinery and the color phase renders via the map route."""

@@ -94,7 +94,13 @@ def reference_config(scene_dir: str, workdir: str, args) -> str:
         "data_address": scene_dir.rstrip("/") + "/",
         "data_new": 0,
         "use_h5": 0,
-        "nohup": 1,
+        # nohup MUST be 0: the reference's own validation loop calls
+        # ``valid_loader.close() if self.cfg['nohup'] else None``
+        # (solver/mainsolver.py:76) — the condition is inverted, so
+        # under nohup the raw DataLoader (no .close) crashes the epoch.
+        # Executing the living code surfaced this; dmfusion's nohup
+        # mode intentionally does not reproduce the crash.
+        "nohup": 0,
         "gpu_mode": False,
         "seed": 3407,
         "threads": 0,
