@@ -254,7 +254,8 @@ def save_artifact(path: str | os.PathLike, cfg: Mapping[str, Any],
         manifest["serving"] = "map"
         manifest["scene_shape"] = [int(h), int(w), int(c)]
         manifest["conv_bands"] = int(resolve_conv_streams(
-            cfg.get("conv_streams", "auto"), h + ps - 1, w + ps - 1, ps))
+            cfg.get("conv_streams", "auto"), h + ps - 1, w + ps - 1, ps,
+            int(cfg.get("model_width", 64))))
         manifest["batch"] = "scene"
     params_payload = {
         "__meta__": {"format": ARTIFACT_FORMAT,

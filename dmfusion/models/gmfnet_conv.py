@@ -114,11 +114,15 @@ def _split2(x: jnp.ndarray, n_r: int, n_c: int) -> jnp.ndarray:
 def _box_sum(x: jnp.ndarray, g: int, axis: int) -> jnp.ndarray:
     """Sum of g consecutive entries along ``axis`` in f32, accumulated
     low-to-high — the ONE association both routes share, so pooled
-    values agree exactly between window and scene evaluation."""
+    values agree exactly between window and scene evaluation.  Static
+    ``lax.slice_in_dim`` shifts, NOT ``jnp.take`` — an index-array take
+    lowers to a real gather whose scene-scale f32 operand copies OOM'd
+    the image6 map (measured)."""
+    import jax
     n = x.shape[axis] - g + 1
-    acc = jnp.take(x, jnp.arange(0, n), axis=axis).astype(jnp.float32)
+    acc = jax.lax.slice_in_dim(x, 0, n, axis=axis).astype(jnp.float32)
     for i in range(1, g):
-        acc = acc + jnp.take(x, jnp.arange(i, i + n), axis=axis)
+        acc = acc + jax.lax.slice_in_dim(x, i, i + n, axis=axis)
     return acc
 
 

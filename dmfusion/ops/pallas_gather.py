@@ -44,7 +44,11 @@ def _row_align(dtype) -> int:
 
 
 def _extents(patch: int, chans: int, row_align: int) -> tuple[int, int]:
-    rows = patch + row_align
+    # rows must cover patch + (row_align-1) start-misalignment AND be a
+    # row_align multiple itself: Mosaic rejects HBM memref slices whose
+    # sublane extent is off-tile (patch 47's PAN window hit this —
+    # 188+8=196 rows is not a multiple of 8).
+    rows = -(-(patch + row_align - 1) // row_align) * row_align
     win = patch * chans
     lanes = -(-(win + _LANE_ALIGN) // _LANE_ALIGN) * _LANE_ALIGN
     return rows, lanes
@@ -93,10 +97,17 @@ def gather_windows_pallas(scene2d: jnp.ndarray, xs: jnp.ndarray,
     B must be a multiple of ``group``.
     """
     b = xs.shape[0]
-    assert b % group == 0, (b, group)
     chans = scene2d.shape[1] // width
     row_align = _row_align(scene2d.dtype)
     rows, lanes = _extents(patch, chans, row_align)
+    # The output VMEM block is (group, rows, lanes) double-buffered;
+    # Mosaic's scoped-vmem stack is ~16 MB.  Large windows (patch 47's
+    # 188-row PAN slabs) blow it at group=64 (measured: 37.5 MB) — halve
+    # the group until the block fits, keeping it a divisor of b.
+    block = rows * lanes * jnp.dtype(scene2d.dtype).itemsize
+    while group > 8 and 2 * group * block > 12_000_000:
+        group //= 2
+    assert b % group == 0, (b, group)
     win = patch * chans
     # Pad so every aligned block is in bounds (loop-invariant; XLA hoists
     # it out of the caller's scan).

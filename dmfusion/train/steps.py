@@ -1222,21 +1222,22 @@ class DensePrograms(DualPrograms):
 
 
 def resolve_conv_streams(value, ms_rows: int, ms_cols: int,
-                         patch: int) -> int:
+                         patch: int, width: int = 64) -> int:
     """Band count for the shift-and-stitch map route (``conv_streams``
     knob: 'auto'/'off'/int).  'auto' streams scenes whose whole-scene
-    phase-map intermediates would crowd HBM: the route's biggest live
-    tensors are the full-res w-channel fused map and the batch-4
-    half-res 2w maps (~6 bytes/px/width-unit in bf16), so ~6.5M anchor
-    px per band keeps a w=64 band comfortably under a v5e's 16 GB
-    alongside the scenes themselves."""
+    phase-map intermediates would crowd HBM.  Sizing is measured, not
+    estimated: at image9/w64 an 8-band program (6.3M anchors/band) put
+    ~10.5 GB of band intermediates next to ~6.4 GB of scene residency —
+    1.16 GB over a v5e's 15.75 GB (XLA's own OOM report) — so auto
+    targets ~4M anchor px per band at w=64 (≈ 7 GB live), scaled by
+    width.  Whole-scene passes stay whole (image6-class and below)."""
     v = str(value).strip().lower() if value is not None else "auto"
     if v in ("off", "0", "false", "no", "none"):
         return 0
     cells = (ms_rows - patch + 1) * (ms_cols - patch + 1)
     if v in ("auto", ""):
-        per_band = 6_500_000
-        return 0 if cells <= per_band else -(-cells // per_band)
+        per_band = int(4_000_000 * 64 / max(width, 1))
+        return 0 if cells <= 6_500_000 else -(-cells // per_band)
     try:
         return int(v)
     except ValueError:
@@ -1338,9 +1339,10 @@ class ConvMapPrograms(DualPrograms):
                                 method=self.model.class_map)
 
     def _conv_streams(self, scene_args) -> int:
-        return resolve_conv_streams(self.cfg.get("conv_streams", "auto"),
-                                    scene_args[0].shape[0],
-                                    scene_args[0].shape[1], self.patch)
+        return resolve_conv_streams(
+            self.cfg.get("conv_streams", "auto"), scene_args[0].shape[0],
+            scene_args[0].shape[1], self.patch,
+            int(self.cfg.get("model_width", 64)))
 
     def predict_map(self, params, scene_args):
         """(H, W) argmax class map — the full-scene color() workload as

@@ -29,11 +29,19 @@ def main():
     ap.add_argument("width", nargs="?", type=int, default=64)
     ap.add_argument("patch", nargs="?", type=int, default=47)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--f32", action="store_true",
+                    help="float32 compute: both routes should agree "
+                         "(bit-level) — the on-chip exactness check; "
+                         "bf16 runs show ~0.4% argmax flips at "
+                         "near-tie anchors")
     ap.add_argument("--anchors", type=int, default=98_304,
                     help="per-anchor route sample size (must be 0 mod "
                          "batch)")
     ap.add_argument("--parity-anchors", type=int, default=32_768)
     ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--bands", default=None,
+                    help="override conv_streams (band count for the "
+                         "map route)")
     args = ap.parse_args()
 
     import jax
@@ -47,13 +55,18 @@ def main():
     from dmfusion.data.scene import synthetic_scene
     from dmfusion.train.steps import ConvMapPrograms
 
-    cfg = load_config(overrides={
+    overrides = {
         "data_city": args.city,
         "model_name": "gmfnet_conv",
         "model_width": args.width,
         "patch_size": args.patch,
         "seed": 0,
-    })
+    }
+    if args.f32:
+        overrides["precision"] = {"compute_dtype": "float32"}
+    if args.bands is not None:
+        overrides["conv_streams"] = args.bands
+    cfg = load_config(overrides=overrides)
     scene = synthetic_scene(cfg)
     h, w = scene.height, scene.width
     cells = h * w
