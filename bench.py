@@ -318,6 +318,42 @@ def main() -> None:
           f"single-shot Pallas-pool {sdt * 1e3:.0f} ms "
           f"(total bench {time.time() - t_start:.0f}s)", file=sys.stderr)
 
+    # -- secondary: shift-and-stitch conv map of the PATCHWISE family ------
+    # (gmfnet_conv, round 5): the parity-topology model rendering the
+    # same full-scene map convolutionally — 167x its own per-anchor
+    # route at image6 (BENCH_NOTES round 5).  Guarded: a failure here
+    # must not cost the round its headline numbers.
+    conv_fields = {}
+    try:
+        from dmfusion.train.steps import ConvMapPrograms
+        ccfg = dict(cfg, model_name="gmfnet_conv", patch_size=47,
+                    model_width=WIDTH)
+        cscene = synthetic_scene(ccfg)
+        cmodel = build_model(ccfg)
+        prog_c = ConvMapPrograms(cmodel, make_optimizer(ccfg, 1), ccfg,
+                                 cscene.width, 47, mesh=None)
+        params_c, _ = prog_c.init(jax.random.PRNGKey(2))
+        conv_run = jax.jit(lambda p, s0, s1: prog_c.predict_map(
+            p, (s0, s1)).sum())
+        int(conv_run(params_c, cscene.ms, cscene.pan))  # compile + warm
+        ctimes = []
+        for i in range(3):
+            k = jax.random.fold_in(jax.random.PRNGKey(11), i)
+            ms_i = cscene.ms + 1e-4 * jax.random.normal(
+                k, cscene.ms.shape, cscene.ms.dtype)
+            float(ms_i.sum())
+            t0 = time.perf_counter()
+            int(conv_run(params_c, ms_i, cscene.pan))
+            ctimes.append(time.perf_counter() - t0)
+        cdt = min(ctimes)
+        conv_fields = {"convmap_ms_per_pass": round(cdt * 1e3, 2),
+                       "convmap_px_per_s": round(n / cdt, 1)}
+        print(f"# dmfusion conv-map (gmfnet_conv w{WIDTH} patch 47): "
+              f"{cdt * 1e3:.0f} ms/map ({n / cdt / 1e6:.1f}M px/s)",
+              file=sys.stderr)
+    except Exception as e:  # pragma: no cover - bench robustness
+        print(f"# conv-map secondary bench skipped: {e}", file=sys.stderr)
+
     best = max(dense_pps, patchwise)
     print(json.dumps({
         "metric": "full_scene_inference_throughput",
@@ -333,6 +369,7 @@ def main() -> None:
         "baseline_patches_per_s": round(baseline, 1),
         "baseline_inrun_patches_per_s": round(baseline_inrun, 1),
         "baseline_pinned": pinned is not None,
+        **conv_fields,
     }))
 
 

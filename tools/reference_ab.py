@@ -227,6 +227,12 @@ def run_dmfusion(scene_dir: str, workdir: str, args, device: str):
         "train": {"index": 1, "save_best": 1},
         "test": {"index": 1, "save_matrix": 1},
         "color": {"index": 0},
+        # Apples-to-apples with the torch side: f32 compute (the
+        # reference trains f32; dmfusion's bf16 default is the TPU
+        # precision model — on CPU it is emulated anyway, slower AND
+        # lower-OA at this scale).
+        "precision": {"compute_dtype": "float32",
+                      "param_dtype": "float32"},
         "DATA_DICT": {"refab": {"size": [args.size[0], args.size[1], 4],
                                 "color": _palette(args.classes)}},
     }, prepare=True)
